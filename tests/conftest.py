@@ -1,0 +1,21 @@
+"""Test configuration: force CPU backend with 8 virtual devices so
+multi-chip sharding paths (shard_map over a Mesh) are exercised without TPU
+hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,206 @@
+"""HRNet pose network (W32/W48) in NHWC flax.
+
+Behavioral reference: AdvMix `lib/models/pose_hrnet.py:101-500` — stem of two
+stride-2 3x3 convs, a 4-Bottleneck layer1, then three configured stages of
+`HighResolutionModule`s (parallel multi-resolution branches with full
+pairwise fusion: 1x1 conv + nearest-upsample for coarser->finer, chains of
+stride-2 3x3 convs for finer->coarser), final 1x1 conv on the highest-res
+branch.
+
+TPU-first: NHWC; all branch/fuse convs are static-shape so XLA fuses the
+elementwise adds into the convs; module names mirror torch key paths for
+checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import batch_norm, conv, upsample_nearest
+from .pose_resnet import BasicBlock, Bottleneck
+
+BLOCK_EXPANSION = {"BASIC": 1, "BOTTLENECK": 4}
+BLOCK_CLS = {"BASIC": BasicBlock, "BOTTLENECK": Bottleneck}
+
+
+class HighResolutionModule(nn.Module):
+    """One multi-branch module with pairwise fusion.
+
+    `prefix` mirrors the torch path, e.g. "stage2_0".
+    """
+
+    num_branches: int
+    block: str
+    num_blocks: Sequence[int]
+    num_inchannels: Sequence[int]  # per-branch input channels
+    num_channels: Sequence[int]  # per-branch block width (pre-expansion)
+    multi_scale_output: bool = True
+    prefix: str = ""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = True):
+        p = self.prefix
+        cls = BLOCK_CLS[self.block]
+        exp = BLOCK_EXPANSION[self.block]
+        out_channels = [c * exp for c in self.num_channels]
+
+        # branches
+        ys = []
+        for i in range(self.num_branches):
+            x = xs[i]
+            needs_ds = self.num_inchannels[i] != out_channels[i]
+            for b in range(self.num_blocks[i]):
+                bp = f"{p}_branches_{i}_{b}"
+                x = cls(
+                    planes=self.num_channels[i],
+                    stride=1,
+                    downsample=(b == 0 and needs_ds),
+                    prefix=bp + "_",
+                    dtype=self.dtype,
+                    name=bp,
+                )(x, train)
+            ys.append(x)
+
+        if self.num_branches == 1:
+            return ys
+
+        # fuse
+        n_out = self.num_branches if self.multi_scale_output else 1
+        fused = []
+        for i in range(n_out):
+            acc = None
+            for j in range(self.num_branches):
+                fp = f"{p}_fuse_layers_{i}_{j}"
+                if j == i:
+                    v = ys[j]
+                elif j > i:
+                    v = conv(f"{fp}_0", out_channels[i], 1, dtype=self.dtype)(ys[j])
+                    v = batch_norm(f"{fp}_1", train, self.dtype)(v)
+                    v = upsample_nearest(v, 2 ** (j - i))
+                else:  # j < i: chain of stride-2 3x3 convs
+                    v = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        ch = out_channels[i] if last else out_channels[j]
+                        v = conv(f"{fp}_{k}_0", ch, 3, 2, 1, dtype=self.dtype)(v)
+                        v = batch_norm(f"{fp}_{k}_1", train, self.dtype)(v)
+                        if not last:
+                            v = nn.relu(v)
+                acc = v if acc is None else acc + v
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class PoseHighResolutionNet(nn.Module):
+    """Full HRNet. Stage configs are the reference's MODEL.EXTRA dicts."""
+
+    stage2_cfg: dict
+    stage3_cfg: dict
+    stage4_cfg: dict
+    num_joints: int = 17
+    final_conv_kernel: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
+        # stem
+        x = conv("conv1", 64, 3, 2, 1, dtype=self.dtype)(x)
+        x = batch_norm("bn1", train, self.dtype)(x)
+        x = nn.relu(x)
+        x = conv("conv2", 64, 3, 2, 1, dtype=self.dtype)(x)
+        x = batch_norm("bn2", train, self.dtype)(x)
+        x = nn.relu(x)
+
+        # layer1: 4 Bottlenecks at 64 planes (in 64 -> out 256)
+        for b in range(4):
+            bp = f"layer1_{b}"
+            x = Bottleneck(
+                planes=64,
+                stride=1,
+                downsample=(b == 0),
+                prefix=bp + "_",
+                dtype=self.dtype,
+                name=bp,
+            )(x, train)
+
+        pre_channels = [256]
+        xs = [x]
+        for si, scfg in ((2, self.stage2_cfg), (3, self.stage3_cfg), (4, self.stage4_cfg)):
+            exp = BLOCK_EXPANSION[scfg["BLOCK"]]
+            cur_channels = [c * exp for c in scfg["NUM_CHANNELS"]]
+            xs = self._transition(
+                f"transition{si - 1}", xs, pre_channels, cur_channels, train
+            )
+            last_stage = si == 4
+            for m in range(scfg["NUM_MODULES"]):
+                multi_out = not (last_stage and m == scfg["NUM_MODULES"] - 1)
+                xs = HighResolutionModule(
+                    num_branches=scfg["NUM_BRANCHES"],
+                    block=scfg["BLOCK"],
+                    num_blocks=tuple(scfg["NUM_BLOCKS"]),
+                    num_inchannels=tuple(cur_channels),
+                    num_channels=tuple(scfg["NUM_CHANNELS"]),
+                    multi_scale_output=multi_out,
+                    prefix=f"stage{si}_{m}",
+                    dtype=self.dtype,
+                    name=f"stage{si}_{m}",
+                )(xs, train)
+            pre_channels = cur_channels
+
+        pad = 1 if self.final_conv_kernel == 3 else 0
+        out = conv(
+            "final_layer",
+            self.num_joints,
+            self.final_conv_kernel,
+            1,
+            pad,
+            use_bias=True,
+            dtype=self.dtype,
+        )(xs[0])
+        return out.astype(jnp.float32)
+
+    def _transition(self, tname, xs, pre_channels, cur_channels, train):
+        """Grow/reshape branches between stages
+        (`lib/models/pose_hrnet.py:333-372`)."""
+        n_pre = len(pre_channels)
+        n_cur = len(cur_channels)
+        outs = []
+        for i in range(n_cur):
+            if i < n_pre:
+                if cur_channels[i] != pre_channels[i]:
+                    v = conv(
+                        f"{tname}_{i}_0", cur_channels[i], 3, 1, 1, dtype=self.dtype
+                    )(xs[i])
+                    v = batch_norm(f"{tname}_{i}_1", train, self.dtype)(v)
+                    outs.append(nn.relu(v))
+                else:
+                    outs.append(xs[i])
+            else:
+                v = xs[-1]
+                for j in range(i + 1 - n_pre):
+                    ch = cur_channels[i] if j == i - n_pre else pre_channels[-1]
+                    v = conv(
+                        f"{tname}_{i}_{j}_0", ch, 3, 2, 1, dtype=self.dtype
+                    )(v)
+                    v = batch_norm(f"{tname}_{i}_{j}_1", train, self.dtype)(v)
+                    v = nn.relu(v)
+                outs.append(v)
+        return outs
+
+
+def get_pose_net(cfg, dtype=jnp.float32) -> PoseHighResolutionNet:
+    """Registry entry (`lib/models/pose_hrnet.py:495`)."""
+    extra = cfg.MODEL.EXTRA
+    return PoseHighResolutionNet(
+        stage2_cfg=dict(extra.STAGE2),
+        stage3_cfg=dict(extra.STAGE3),
+        stage4_cfg=dict(extra.STAGE4),
+        num_joints=cfg.MODEL.NUM_JOINTS,
+        final_conv_kernel=extra.FINAL_CONV_KERNEL,
+        dtype=dtype,
+    )

@@ -1,0 +1,134 @@
+"""torch checkpoint -> flax variables converter.
+
+Needed to reproduce the reference's fine-tune recipe: AdvMix loads ImageNet
+trunks and pretrained pose checkpoints (`tools/train.py:198-235`, with
+'module.' DataParallel prefix rewriting and shape-filtered partial loads).
+
+Every leaf flax module in this package carries a globally unique name that is
+the torch module path with '.' replaced by '_' (e.g. torch
+`stage2.0.branches.0.0.conv1` -> flax leaf module `stage2_0_branches_0_0_conv1`),
+so conversion is a pure key mapping plus layout transposes:
+
+- Conv weight:  torch OIHW -> flax HWIO
+- ConvTranspose weight: torch (in, out, kh, kw) -> flax transpose_kernel
+  layout (kh, kw, out, in)
+- BatchNorm: weight->scale, bias->bias (params); running_mean->mean,
+  running_var->var (batch_stats)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def strip_module_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Remove DataParallel 'module.' prefixes (`tools/train.py:201`)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def _flatten(tree: dict, prefix=()) -> Dict[Tuple[str, ...], Any]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree
+
+
+def torch_to_flax_variables(
+    state_dict: Dict[str, Any],
+    variables: dict,
+    strict: bool = False,
+    filter_shapes: bool = True,
+) -> dict:
+    """Fill a flax variables dict {'params':..., 'batch_stats':...} from a
+    torch state_dict. Unknown/shape-mismatched torch entries are skipped
+    when `filter_shapes` (matching the reference's shape-filtered partial
+    load, `tools/train.py:225-231`)."""
+    state_dict = strip_module_prefix(state_dict)
+    flat_params = _flatten(variables.get("params", {}))
+    flat_stats = _flatten(variables.get("batch_stats", {}))
+
+    # Index flax leaves by their unique leaf-module name.
+    by_leaf: Dict[str, Dict[str, Tuple[Tuple[str, ...], Any]]] = {}
+    for path, v in flat_params.items():
+        by_leaf.setdefault(path[-2], {})[("params", path[-1])] = (path, v)
+    for path, v in flat_stats.items():
+        by_leaf.setdefault(path[-2], {})[("stats", path[-1])] = (path, v)
+
+    new_params = dict(flat_params)
+    new_stats = dict(flat_stats)
+    misses = []
+
+    for tkey, tval in state_dict.items():
+        if tkey.endswith("num_batches_tracked"):
+            continue
+        mod_path, _, leaf = tkey.rpartition(".")
+        flax_mod = mod_path.replace(".", "_")
+        entry = by_leaf.get(flax_mod)
+        if entry is None:
+            misses.append(tkey)
+            continue
+        arr = np.asarray(tval.detach().cpu().numpy() if hasattr(tval, "detach") else tval)
+
+        if leaf == "weight" and ("params", "kernel") in entry:
+            path, cur = entry[("params", "kernel")]
+            if arr.ndim == 4:
+                # One permutation covers both layer kinds:
+                #   torch Conv  (O,I,kh,kw) -> flax HWIO (kh,kw,I,O)
+                #   torch ConvT (I,O,kh,kw) -> flax transpose_kernel layout
+                #                              (kh,kw,O,I)
+                arr = np.transpose(arr, (2, 3, 1, 0))
+            dest = ("params", path, arr)
+        elif leaf == "weight" and ("params", "scale") in entry:
+            path, cur = entry[("params", "scale")]
+            dest = ("params", path, arr)
+        elif leaf == "bias" and ("params", "bias") in entry:
+            path, cur = entry[("params", "bias")]
+            dest = ("params", path, arr)
+        elif leaf == "running_mean" and ("stats", "mean") in entry:
+            path, cur = entry[("stats", "mean")]
+            dest = ("stats", path, arr)
+        elif leaf == "running_var" and ("stats", "var") in entry:
+            path, cur = entry[("stats", "var")]
+            dest = ("stats", path, arr)
+        else:
+            misses.append(tkey)
+            continue
+
+        kind, path, arr = dest
+        cur = (flat_params if kind == "params" else flat_stats)[path]
+        if arr.shape != cur.shape:
+            if filter_shapes:
+                misses.append(tkey)
+                continue
+            raise ValueError(f"{tkey}: shape {arr.shape} != {cur.shape}")
+        if kind == "params":
+            new_params[path] = arr.astype(np.asarray(cur).dtype)
+        else:
+            new_stats[path] = arr.astype(np.asarray(cur).dtype)
+
+    if strict and misses:
+        raise KeyError(f"unmatched torch keys: {misses}")
+
+    out = dict(variables)
+    out["params"] = _unflatten(new_params)
+    if flat_stats:
+        out["batch_stats"] = _unflatten(new_stats)
+    return out

@@ -1,0 +1,275 @@
+"""Compiled train/eval steps over a data-parallel mesh.
+
+The reference's hot loops (`lib/core/function.py:30-197`) interleave host
+logging, `.detach()`/`requires_grad` toggling, and four separate
+DataParallel scatter/gather forwards per AdvMix iteration. Here each
+iteration is ONE jitted program under `shard_map` over the "data" mesh
+axis:
+
+- standard step: forward + loss + backward + adam update + on-device PCK
+  (the reference syncs to CPU numpy every step for PCK,
+  `lib/core/evaluate.py:41`).
+- advmix step (`train_advmix`, lib/core/function.py:107-197): G forward +
+  softmax mixing, D update on the stop-gradient'd mix with the KD-teacher
+  term, then G update by back-propagating through the *saved* G vjp with
+  the *updated* D params — exactly reproducing detach()/set_require_grad
+  semantics, including D's BatchNorm running stats updating twice per
+  iteration (torch runs D in train mode for both forwards).
+
+Gradients/metrics are `lax.pmean`'d across replicas; BatchNorm batch stats
+are computed per-replica (matching DataParallel, SURVEY §7.4) and then
+averaged so the stored state is deterministic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+import optax
+
+from ..ops.losses import joints_loss, joints_ohkm_loss
+from ..ops.heatmap import pck_accuracy, get_final_preds
+from ..ops.transforms import flip_back, shift_heatmap_right
+
+
+def _criterion_kind(cfg) -> str:
+    # LOSS.SMOOTH_L1 carries the reference's inverted meaning
+    # (lib/core/loss.py:16-21): False -> SmoothL1, True -> MSE.
+    return "mse" if cfg.LOSS.SMOOTH_L1 else "smooth_l1"
+
+
+def _loss_fn_for(cfg) -> Callable:
+    if cfg.LOSS.USE_OHKM:
+        topk = cfg.LOSS.TOPK
+
+        def fn(out, target, tw):
+            return joints_ohkm_loss(
+                out, target, tw, cfg.LOSS.USE_TARGET_WEIGHT, topk
+            )
+
+        return fn
+    crit = _criterion_kind(cfg)
+    use_tw = cfg.LOSS.USE_TARGET_WEIGHT
+
+    def fn(out, target, tw):
+        return joints_loss(out, target, tw, use_tw, crit)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Standard training step (lib/core/function.py:30-95)
+# ---------------------------------------------------------------------------
+
+def make_train_step(model, tx, cfg, mesh: Mesh, axis: str = "data"):
+    loss_of = _loss_fn_for(cfg)
+
+    def step(state, batch):
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = loss_of(out, batch["target"], batch["target_weight"])
+            return loss, (out, mut["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = lax.pmean(grads, axis)
+        new_stats = lax.pmean(new_stats, axis)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        _, acc, cnt = pck_accuracy(out, batch["target"])
+        metrics = {
+            "loss": lax.pmean(loss, axis),
+            "acc": lax.pmean(acc, axis),
+            "acc_cnt": lax.psum(cnt, axis),
+        }
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+# ---------------------------------------------------------------------------
+# AdvMix min-max step (lib/core/function.py:107-197)
+# ---------------------------------------------------------------------------
+
+def make_advmix_step(
+    model_d,
+    model_g,
+    tx_d,
+    tx_g,
+    cfg,
+    mesh: Mesh,
+    alpha: float = 0.1,
+    adv_loss_weight: float = 1.0,
+    num_views: int = 3,
+    axis: str = "data",
+):
+    loss_of = _loss_fn_for(cfg)
+
+    def step(state, batch):
+        views = batch["views"]  # (B, H, W, 3*K) channel-concat of K views
+        clean = views[..., :3]
+        target = batch["target"]
+        tw = batch["target_weight"]
+
+        # G forward once; save the vjp so the G update back-propagates
+        # through the same mixing (mix_weight computed pre-D-update,
+        # function.py:137-144).
+        def g_forward(pg):
+            logits = model_g.apply({"params": pg}, views)
+            w = jax.nn.softmax(logits, axis=-1)  # (B, H, W, K)
+            mixed = jnp.zeros_like(clean)
+            for k in range(num_views):
+                mixed = mixed + views[..., 3 * k : 3 * k + 3] * w[..., k : k + 1]
+            return mixed
+
+        mixed, g_vjp = jax.vjp(g_forward, state.params_g)
+        mixed_sg = lax.stop_gradient(mixed)  # == tmp.detach(), function.py:146
+
+        # Teacher forward on the clean view, eval mode (function.py:148-149).
+        teacher_out = model_d.apply(
+            {"params": state.params_t, "batch_stats": state.batch_stats_t},
+            clean,
+            train=False,
+        )
+        teacher_out = lax.stop_gradient(teacher_out)
+
+        # ---- D update (function.py:146-155) ----
+        def loss_d_fn(pd):
+            out, mut = model_d.apply(
+                {"params": pd, "batch_stats": state.batch_stats_d},
+                mixed_sg,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            l_hm = loss_of(out, target, tw)
+            l_kd = loss_of(out, teacher_out, tw)
+            loss = l_hm * (1.0 - alpha) + l_kd * alpha
+            return loss, mut["batch_stats"]
+
+        (loss_d, stats_after_d), grads_d = jax.value_and_grad(
+            loss_d_fn, has_aux=True
+        )(state.params_d)
+        grads_d = lax.pmean(grads_d, axis)
+        stats_after_d = lax.pmean(stats_after_d, axis)
+        upd_d, new_opt_d = tx_d.update(grads_d, state.opt_state_d, state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, upd_d)
+
+        # ---- G update (function.py:158-164) ----
+        # D is "frozen" (set_require_grad False) but has its UPDATED params
+        # and runs in train mode again — second BN stats update per step.
+        def loss_g_fn(mixed_in):
+            out, mut = model_d.apply(
+                {"params": new_params_d, "batch_stats": stats_after_d},
+                mixed_in,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = -loss_of(out, target, tw) * adv_loss_weight
+            return loss, (out, mut["batch_stats"])
+
+        (loss_g, (out_g, stats_after_g)), dmixed = jax.value_and_grad(
+            loss_g_fn, has_aux=True
+        )(mixed)
+        stats_after_g = lax.pmean(stats_after_g, axis)
+        (grads_g,) = g_vjp(dmixed)
+        grads_g = lax.pmean(grads_g, axis)
+        upd_g, new_opt_g = tx_g.update(grads_g, state.opt_state_g, state.params_g)
+        new_params_g = optax.apply_updates(state.params_g, upd_g)
+
+        # Metrics: loss meter tracks loss_D, accuracy uses the G-step D
+        # output (function.py:167-171).
+        _, acc, cnt = pck_accuracy(out_g, target)
+        metrics = {
+            "loss_d": lax.pmean(loss_d, axis),
+            "loss_g": lax.pmean(loss_g, axis),
+            "acc": lax.pmean(acc, axis),
+            "acc_cnt": lax.psum(cnt, axis),
+        }
+        new_state = state.replace(
+            params_d=new_params_d,
+            batch_stats_d=stats_after_g,
+            opt_state_d=new_opt_d,
+            params_g=new_params_g,
+            opt_state_g=new_opt_g,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+# ---------------------------------------------------------------------------
+# Eval step (lib/core/function.py:200-318)
+# ---------------------------------------------------------------------------
+
+def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "data"):
+    loss_of = _loss_fn_for(cfg)
+    flip_test = cfg.TEST.FLIP_TEST
+    shift = cfg.TEST.SHIFT_HEATMAP
+    post = cfg.TEST.POST_PROCESS
+    pairs = tuple(tuple(p) for p in flip_pairs)
+
+    def step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = model.apply(variables, batch["image"], train=False)
+        if flip_test:
+            out_f = model.apply(
+                variables, batch["image"][:, :, ::-1, :], train=False
+            )
+            out_f = flip_back(out_f, pairs)
+            if shift:
+                out_f = shift_heatmap_right(out_f)
+            out = (out + out_f) * 0.5
+        loss = loss_of(out, batch["target"], batch["target_weight"])
+        _, acc, cnt = pck_accuracy(out, batch["target"])
+        preds, maxvals = get_final_preds(
+            out, batch["center"], batch["scale"], post_process=post
+        )
+        metrics = {
+            "loss": lax.pmean(loss, axis),
+            "acc": lax.pmean(acc, axis),
+            "acc_cnt": lax.psum(cnt, axis),
+        }
+        return preds, maxvals, metrics
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

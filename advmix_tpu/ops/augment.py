@@ -1,0 +1,271 @@
+"""Batched on-device adversarial-augmentation views (AutoAugment + GridMask).
+
+Behavioral reference: AdvMix `lib/dataset/advaug.py` — per-sample PIL
+AutoAugment (ImageNet policy, 12 subpolicies over
+equalize/posterize/solarize/invert/sharpness, `advaug.py:22-34`) and
+GridMask (`grid_aug`, `advaug.py:111-170`: random period d in [2, min(h,w)),
+ratio 0.5, mode=1 keep-grid, prob 0.7, rotate=1 which is a no-op since
+randint(1)==0).
+
+TPU-first redesign: the reference applies these on the host per image inside
+DataLoader workers; here every op is a batched jax function over uint8-range
+float images (B, H, W, 3) driven by a jax PRNG key, so the full 3-view
+AdvMix batch is synthesized on device from one clean crop. Note the
+reference only uses the *clean* view's target/weights for both D and G
+losses (`lib/core/function.py:131-132`), so GridMask's joints_vis zeroing
+never reaches training and is not reproduced here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Pixel ops (PIL-compatible, on [0, 255] float, per-sample batched)
+# ---------------------------------------------------------------------------
+
+def invert(img: jnp.ndarray) -> jnp.ndarray:
+    return 255.0 - img
+
+
+def solarize(img: jnp.ndarray, threshold) -> jnp.ndarray:
+    """PIL ImageOps.solarize: invert pixels >= threshold (on uint8)."""
+    q = jnp.floor(img)
+    return jnp.where(q >= threshold, 255.0 - img, img)
+
+
+def posterize(img: jnp.ndarray, bits) -> jnp.ndarray:
+    """PIL ImageOps.posterize: keep the top `bits` bits per channel."""
+    shift = (2.0 ** (8 - bits)).astype(jnp.float32) if hasattr(bits, "astype") else float(2 ** (8 - bits))
+    return jnp.floor(img / shift) * shift
+
+
+def equalize(img: jnp.ndarray) -> jnp.ndarray:
+    """PIL ImageOps.equalize, batched.
+
+    PIL builds a per-channel LUT: step = (npixels - hist[last_nonzero]) // 255;
+    lut[i] = (cumsum_before(i) + step // 2) // step. Implemented with a
+    (B, C, 256) histogram via one-hot sums.
+    """
+    b, h, w, c = img.shape
+    q = jnp.clip(jnp.floor(img), 0, 255).astype(jnp.int32)  # (B,H,W,C)
+    flat = q.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    onehot = jax.nn.one_hot(flat, 256, dtype=jnp.float32)  # (B,C,HW,256)
+    hist = jnp.sum(onehot, axis=2)  # (B,C,256)
+
+    # value of the last non-zero histogram bin
+    idx = jnp.arange(256)
+    last_nz = jnp.argmax(jnp.where(hist > 0, idx[None, None, :], -1), axis=-1)
+    hist_last = jnp.take_along_axis(hist, last_nz[..., None], axis=-1)[..., 0]
+    n = float(h * w)
+    step = jnp.floor((n - hist_last) / 255.0)  # (B,C)
+
+    csum = jnp.cumsum(hist, axis=-1)
+    cum_before = csum - hist  # cumsum excluding current bin
+    lut = jnp.floor(
+        (cum_before + jnp.floor(step[..., None] / 2.0))
+        / jnp.maximum(step[..., None], 1.0)
+    )
+    lut = jnp.clip(lut, 0, 255)
+    # identity where step == 0 (PIL keeps the channel unchanged)
+    lut = jnp.where(step[..., None] > 0, lut, idx[None, None, :].astype(jnp.float32))
+
+    mapped = jnp.take_along_axis(
+        lut[:, None, None, :, :],  # (B,1,1,C,256)
+        q[..., None].transpose(0, 1, 2, 3, 4),  # (B,H,W,C,1)
+        axis=-1,
+    )[..., 0]
+    return mapped
+
+
+def _smooth_filter(img: jnp.ndarray) -> jnp.ndarray:
+    """PIL ImageFilter.SMOOTH: 3x3 kernel [[1,1,1],[1,5,1],[1,1,1]]/13 on the
+    interior; PIL leaves the 1px border unchanged."""
+    k = jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    kern = jnp.zeros((3, 3, 1, 1), jnp.float32).at[:, :, 0, 0].set(k)
+    b, h, w, c = img.shape
+    x = img.transpose(0, 3, 1, 2).reshape(b * c, h, w, 1)
+    sm = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    sm = sm.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    border = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+    return jnp.where(border[None, :, :, None], sm, img)
+
+
+def sharpness(img: jnp.ndarray, factor) -> jnp.ndarray:
+    """PIL ImageEnhance.Sharpness: blend(smooth, img, factor).
+
+    factor 0 -> fully smoothed, 1 -> original, >1 -> sharpened. PIL rounds
+    the smoothed image to uint8 before blending."""
+    sm = jnp.clip(jnp.round(_smooth_filter(img)), 0, 255)
+    f = factor if isinstance(factor, float) else factor
+    out = sm + (img - sm) * f
+    return jnp.clip(out, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# AutoAugment ImageNet policy (the 12 subpolicies used by AdvMix)
+# ---------------------------------------------------------------------------
+
+# (p1, op1, magnitude_idx1, p2, op2, magnitude_idx2) per advaug.py:22-34
+_POLICIES = [
+    (0.8, "equalize", 8, 0.6, "equalize", 3),
+    (0.6, "posterize", 7, 0.6, "posterize", 6),
+    (0.4, "equalize", 7, 0.2, "solarize", 4),
+    (0.6, "solarize", 3, 0.6, "equalize", 7),
+    (0.8, "posterize", 5, 1.0, "equalize", 2),
+    (0.6, "equalize", 8, 0.4, "posterize", 6),
+    (0.0, "equalize", 7, 0.8, "equalize", 8),
+    (0.6, "invert", 4, 1.0, "equalize", 8),
+    (0.4, "sharpness", 7, 0.6, "invert", 8),
+    (0.4, "equalize", 7, 0.2, "solarize", 4),
+    (0.6, "invert", 4, 1.0, "equalize", 8),
+    (0.8, "equalize", 8, 0.6, "equalize", 3),
+]
+
+# magnitude tables (advaug.py:48-63); only ops appearing above are needed
+import numpy as _np
+
+_RANGES = {
+    "posterize": _np.round(_np.linspace(8, 4, 10), 0).astype(int),
+    "solarize": _np.linspace(256, 0, 10),
+    "sharpness": _np.linspace(0.0, 0.9, 10),
+    "equalize": [0] * 10,
+    "invert": [0] * 10,
+}
+
+
+def _apply_op(img, op: str, magnitude: float, sign: jnp.ndarray):
+    if op == "equalize":
+        return equalize(img)
+    if op == "invert":
+        return invert(img)
+    if op == "posterize":
+        return posterize(img, int(magnitude))
+    if op == "solarize":
+        return solarize(img, float(magnitude))
+    if op == "sharpness":
+        # enhance(1 + m * random_sign)
+        return sharpness(img, 1.0 + float(magnitude) * sign)
+    raise ValueError(op)
+
+
+def autoaugment(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Apply a random ImageNet subpolicy per sample (batched).
+
+    img: (B, H, W, 3) float in [0, 255]. One policy index, two application
+    coins, and one magnitude sign are drawn per sample.
+    """
+    b = img.shape[0]
+    k_pol, k_p1, k_p2, k_sign = jax.random.split(key, 4)
+    pol_idx = jax.random.randint(k_pol, (b,), 0, len(_POLICIES))
+    u1 = jax.random.uniform(k_p1, (b,))
+    u2 = jax.random.uniform(k_p2, (b,))
+    sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
+
+    def apply_policy(i, image, u1s, u2s, sgn):
+        p1, op1, m1, p2, op2, m2 = _POLICIES[i]
+        mag1 = _RANGES[op1][m1]
+        mag2 = _RANGES[op2][m2]
+        out = jnp.where(
+            (u1s < p1)[:, None, None, None],
+            _apply_op(image, op1, mag1, sgn[:, None, None, None]),
+            image,
+        )
+        out = jnp.where(
+            (u2s < p2)[:, None, None, None],
+            _apply_op(out, op2, mag2, sgn[:, None, None, None]),
+            out,
+        )
+        return out
+
+    # All 12 subpolicies share a handful of primitive ops; lax.switch over
+    # per-sample policies would prevent batching, so compute each policy's
+    # output on the whole batch and select. 12 cheap elementwise programs on
+    # the VPU — negligible next to the model's MXU work, and fully fused.
+    outs = jnp.stack(
+        [apply_policy(i, img, u1, u2, sign) for i in range(len(_POLICIES))]
+    )  # (P, B, H, W, 3)
+    return jnp.take_along_axis(
+        outs, pol_idx[None, :, None, None, None], axis=0
+    )[0]
+
+
+# ---------------------------------------------------------------------------
+# GridMask (advaug.py:111-170 with the call-site constants)
+# ---------------------------------------------------------------------------
+
+def gridmask(
+    img: jnp.ndarray,
+    key: jax.Array,
+    ratio: float = 0.5,
+    mode: int = 1,
+    prob: float = 0.7,
+) -> jnp.ndarray:
+    """Batched GridMask. img: (B, H, W, C) float.
+
+    Per sample: with prob `prob`, draw period d ~ U[2, min(h,w)), strip
+    width l = clip(int(d*ratio+0.5), 1, d-1), offsets st_h, st_w ~ U[0, d),
+    build the 1.5x mask, center-crop, invert (mode=1), multiply.
+    """
+    b, h, w, c = img.shape
+    k_apply, k_d, k_sh, k_sw = jax.random.split(key, 4)
+    apply_mask = jax.random.bernoulli(k_apply, prob, (b,))
+    d = jax.random.randint(k_d, (b,), 2, min(h, w))
+    l = jnp.clip(jnp.floor(d * ratio + 0.5).astype(jnp.int32), 1, d - 1)
+    st_h = jax.random.randint(k_sh, (b,), 0, 2**30) % d
+    st_w = jax.random.randint(k_sw, (b,), 0, 2**30) % d
+
+    hh, ww = int(1.5 * h), int(1.5 * w)
+    off_h, off_w = (hh - h) // 2, (ww - w) // 2
+
+    ys = jnp.arange(h) + off_h  # coords in the 1.5x canvas
+    xs = jnp.arange(w) + off_w
+
+    def strips(coords, st, dd, ll):
+        # zeroed rows: s = dd*i + st for i >= 0 -> (coord - st) mod dd < ll
+        rel = coords[None, :] - st[:, None]
+        return (rel >= 0) & (jnp.mod(rel, dd[:, None]) < ll[:, None])
+
+    row = strips(ys, st_h, d, l)  # (B, H)
+    col = strips(xs, st_w, d, l)  # (B, W)
+    zeroed = row[:, :, None] | col[:, None, :]  # (B, H, W)
+    mask = zeroed if mode == 1 else ~zeroed  # mode=1 inverts (keep strips)
+    mask = mask.astype(img.dtype)
+    mask = jnp.where(apply_mask[:, None, None], mask, jnp.ones_like(mask))
+    return img * mask[..., None]
+
+
+# ---------------------------------------------------------------------------
+# 3-view synthesis for AdvMix
+# ---------------------------------------------------------------------------
+
+def make_advmix_views(
+    clean: jnp.ndarray,  # (B, H, W, 3) float [0, 255]
+    key: jax.Array,
+    normalize_mean=(0.485, 0.456, 0.406),
+    normalize_std=(0.229, 0.224, 0.225),
+) -> jnp.ndarray:
+    """Build the channel-concat (B, H, W, 9) [clean, autoaug, gridmask]
+    views, each normalized like torchvision ToTensor+Normalize
+    (JointsDataset `transform`)."""
+    k_aa, k_gm = jax.random.split(key)
+    aa = autoaugment(clean, k_aa)
+
+    mean = jnp.asarray(normalize_mean, clean.dtype) * 255.0
+    std = jnp.asarray(normalize_std, clean.dtype) * 255.0
+
+    def norm(x):
+        return (x - mean) / std
+
+    # GridMask runs on the *normalized* tensor in the reference
+    # (advaug.py:190-202: transform first, then grid_aug), so masked pixels
+    # are exactly 0 in normalized space.
+    gm = gridmask(norm(clean), k_gm)
+    return jnp.concatenate([norm(clean), norm(aa), gm], axis=-1)

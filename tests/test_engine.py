@@ -1,0 +1,165 @@
+"""Engine tests: standard + AdvMix fused steps over an 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from advmix_tpu.config import load_config
+from advmix_tpu.engine import optim, state as state_lib, steps
+from advmix_tpu.models.pose_resnet import PoseResNet
+from advmix_tpu.models.unet import UnetGenerator
+from advmix_tpu.ops.heatmap import generate_target
+from advmix_tpu.parallel import get_mesh, device_put_batch
+from advmix_tpu.parallel.mesh import replicate
+
+IMG = (64, 64)
+HM = (16, 16)
+B = 16
+J = 4
+
+
+def _cfg():
+    cfg = load_config()
+    cfg.defrost()
+    cfg.MODEL.NUM_JOINTS = J
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.EXTRA = {
+        "NUM_LAYERS": 18,
+        "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [64, 64, 64],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "FINAL_CONV_KERNEL": 1,
+        "DECONV_WITH_BIAS": False,
+    }
+    cfg.TRAIN.LR = 1e-3
+    cfg.freeze()
+    return cfg
+
+
+def _batch(rng):
+    joints = rng.uniform(5, 59, (B, J, 2)).astype(np.float32)
+    vis = np.ones((B, J), np.float32)
+    tgt, _, w = generate_target(jnp.asarray(joints), jnp.asarray(vis), IMG, HM, 2)
+    return {
+        "image": jnp.asarray(rng.randn(B, 64, 64, 3).astype(np.float32)),
+        "target": tgt,
+        "target_weight": w,
+    }
+
+
+def test_train_step_loss_decreases():
+    cfg = _cfg()
+    mesh = get_mesh(8)
+    model = PoseResNet(num_layers=18, num_joints=J,
+                       num_deconv_filters=(64, 64, 64))
+    tx = optim.get_optimizer(cfg)
+    st = state_lib.create_pose_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3))
+    )
+    st = replicate(st, mesh)
+    step = steps.make_train_step(model, tx, cfg, mesh)
+    batch = device_put_batch(_batch(np.random.RandomState(0)), mesh)
+    losses = []
+    for _ in range(4):
+        st, m = step(st, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(st.step) == 4
+
+
+def test_advmix_step_semantics():
+    cfg = _cfg()
+    mesh = get_mesh(8)
+    model_d = PoseResNet(num_layers=18, num_joints=J,
+                         num_deconv_filters=(64, 64, 64))
+    model_g = UnetGenerator(input_nc=9, output_nc=3, num_downs=4, ngf=8)
+    tx_d = optim.get_optimizer(cfg)
+    tx_g = optim.get_generator_optimizer(cfg)
+    st = state_lib.create_advmix_state(
+        model_d, model_g, tx_d, tx_g, jax.random.PRNGKey(0),
+        jnp.zeros((2, 64, 64, 3)),
+    )
+    st = replicate(st, mesh)
+    step = steps.make_advmix_step(
+        model_d, model_g, tx_d, tx_g, cfg, mesh,
+        alpha=0.1, adv_loss_weight=1.0,
+    )
+    rng = np.random.RandomState(1)
+    base = _batch(rng)
+    views = np.concatenate(
+        [np.asarray(base["image"])] * 3, axis=-1
+    ) + rng.randn(B, 64, 64, 9).astype(np.float32) * 0.01
+    batch = device_put_batch(
+        {"views": jnp.asarray(views), "target": base["target"],
+         "target_weight": base["target_weight"]},
+        mesh,
+    )
+
+    params_t_before = jax.tree.map(np.asarray, st.params_t)
+    pg_before = jax.tree.map(np.asarray, st.params_g)
+    pd_before = jax.tree.map(np.asarray, st.params_d)
+
+    st2, m = step(st, batch)
+
+    # teacher untouched
+    for a, b in zip(jax.tree.leaves(params_t_before),
+                    jax.tree.leaves(jax.tree.map(np.asarray, st2.params_t))):
+        np.testing.assert_array_equal(a, b)
+    # D and G both updated
+    d_changed = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(pd_before),
+                        jax.tree.leaves(jax.tree.map(np.asarray, st2.params_d)))
+    )
+    g_changed = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(pg_before),
+                        jax.tree.leaves(jax.tree.map(np.asarray, st2.params_g)))
+    )
+    assert d_changed and g_changed
+    # loss_G is the negated pose loss (adversarial): must be <= 0 here
+    assert float(m["loss_g"]) < 0
+    assert np.isfinite(float(m["loss_d"]))
+
+    # loss_D decreases over repeated steps on the same batch
+    losses = [float(m["loss_d"])]
+    for _ in range(3):
+        st2, m = step(st2, batch)
+        losses.append(float(m["loss_d"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_eval_step_shapes_and_flip():
+    cfg = _cfg()
+    cfg.defrost()
+    cfg.TEST.FLIP_TEST = True
+    cfg.TEST.SHIFT_HEATMAP = True
+    cfg.TEST.POST_PROCESS = True
+    cfg.freeze()
+    mesh = get_mesh(8)
+    model = PoseResNet(num_layers=18, num_joints=J,
+                       num_deconv_filters=(64, 64, 64))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3)), train=False)
+    flip_pairs = [[0, 1], [2, 3]]
+    step = steps.make_eval_step(model, cfg, flip_pairs, mesh)
+    rng = np.random.RandomState(2)
+    base = _batch(rng)
+    batch = device_put_batch(
+        {**base,
+         "center": jnp.asarray(rng.uniform(100, 200, (B, 2)).astype(np.float32)),
+         "scale": jnp.asarray(rng.uniform(0.8, 1.5, (B, 2)).astype(np.float32))},
+        mesh,
+    )
+    params = replicate(v["params"], mesh)
+    stats = replicate(v.get("batch_stats", {}), mesh)
+    preds, maxvals, metrics = step(params, stats, batch)
+    assert preds.shape == (B, J, 2)
+    assert maxvals.shape == (B, J, 1)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multistep_lr():
+    assert optim.multistep_lr(1e-3, [90, 120], 0.1, 0) == 1e-3
+    assert optim.multistep_lr(1e-3, [90, 120], 0.1, 90) == 1e-4
+    assert np.isclose(optim.multistep_lr(1e-3, [90, 120], 0.1, 130), 1e-5)

@@ -1,0 +1,312 @@
+"""Datasets: host-side record holding + per-sample geometry prep.
+
+TPU-first split of the reference's `JointsDataset` (`lib/dataset/
+JointsDataset.py`): the host only decodes the image, samples augmentation
+parameters (half-body / scale / rotation / flip — `JointsDataset.py:167-188`)
+and produces a fixed-size uint8 crop via the exact cv2 warp; everything
+downstream (normalization, AutoAugment/GridMask views, Gaussian targets)
+is batched jax on device (ops/augment.py, ops/heatmap.py).
+
+Dataset constants (flip pairs, body ids, per-joint weights) follow
+`lib/dataset/coco.py:70-83` and `lib/dataset/mpii.py:36-41`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import cv2
+import numpy as np
+
+from ..ops.transforms import get_affine_transform, affine_transform, fliplr_joints
+from . import records as records_lib
+
+PIXEL_STD = 200.0
+
+
+class BaseJointsDataset:
+    num_joints: int = 0
+    flip_pairs: List[List[int]] = []
+    parent_ids = None
+    upper_body_ids = ()
+    lower_body_ids = ()
+
+    def __init__(self, cfg, is_train: bool):
+        self.cfg = cfg
+        self.is_train = is_train
+        self.image_size = np.array(cfg.MODEL.IMAGE_SIZE)  # (w, h)
+        self.heatmap_size = np.array(cfg.MODEL.HEATMAP_SIZE)
+        self.sigma = cfg.MODEL.SIGMA
+        self.scale_factor = cfg.DATASET.SCALE_FACTOR
+        self.rotation_factor = cfg.DATASET.ROT_FACTOR
+        self.flip = cfg.DATASET.FLIP
+        self.num_joints_half_body = cfg.DATASET.NUM_JOINTS_HALF_BODY
+        self.prob_half_body = cfg.DATASET.PROB_HALF_BODY
+        self.color_rgb = cfg.DATASET.COLOR_RGB
+        self.aspect_ratio = self.image_size[0] / self.image_size[1]
+        self.joints_weight = np.ones((self.num_joints, 1), np.float32)
+        self.records: List[dict] = []
+
+    def __len__(self):
+        return len(self.records)
+
+    # -- augmentation parameter sampling ------------------------------------
+
+    def half_body_transform(self, joints, joints_vis, rng):
+        """`lib/dataset/JointsDataset.py:69-111` semantics."""
+        upper, lower = [], []
+        for j in range(self.num_joints):
+            if joints_vis[j][0] > 0:
+                (upper if j in self.upper_body_ids else lower).append(joints[j])
+        if rng.randn() < 0.5 and len(upper) > 2:
+            selected = upper
+        else:
+            selected = lower if len(lower) > 2 else upper
+        if len(selected) < 2:
+            return None, None
+        selected = np.array(selected, dtype=np.float32)
+        center = selected.mean(axis=0)[:2]
+        lt = selected.min(axis=0)
+        rb = selected.max(axis=0)
+        w, h = rb[0] - lt[0], rb[1] - lt[1]
+        if w > self.aspect_ratio * h:
+            h = w / self.aspect_ratio
+        elif w < self.aspect_ratio * h:
+            w = h * self.aspect_ratio
+        scale = np.array([w / PIXEL_STD, h / PIXEL_STD], np.float32) * 1.5
+        return center, scale
+
+    def _read_image(self, path: str) -> np.ndarray:
+        flags = cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
+        if self.cfg.DATASET.DATA_FORMAT == "zip":
+            from ..utils import zipreader
+
+            img = zipreader.imread(path, flags)
+        else:
+            img = cv2.imread(path, flags)
+        if img is None:
+            raise ValueError(f"Fail to read {path}")
+        if self.color_rgb:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return img
+
+    def get_sample(self, idx: int, rng: np.random.RandomState) -> dict:
+        """Decode + augment-params + warp one record to a fixed-size crop.
+
+        Returns uint8 `image` (H, W, 3), crop-space `joints` (J, 2),
+        `joints_vis` (J,), and eval metadata.
+        """
+        rec = self.records[idx]
+        img = self._read_image(rec["image"])
+        joints = rec["joints_3d"].copy()
+        joints_vis = rec["joints_3d_vis"].copy()
+        c = np.asarray(rec["center"], np.float32).copy()
+        s = np.asarray(rec["scale"], np.float32).copy()
+        score = rec.get("score", 1.0)
+        r = 0.0
+
+        if self.is_train:
+            if (
+                np.sum(joints_vis[:, 0]) > self.num_joints_half_body
+                and rng.rand() < self.prob_half_body
+            ):
+                c_hb, s_hb = self.half_body_transform(joints, joints_vis, rng)
+                if c_hb is not None:
+                    c, s = c_hb, s_hb
+            sf, rf = self.scale_factor, self.rotation_factor
+            s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+            r = (
+                float(np.clip(rng.randn() * rf, -rf * 2, rf * 2))
+                if rng.rand() <= 0.6
+                else 0.0
+            )
+            if self.flip and rng.rand() <= 0.5:
+                img = img[:, ::-1, :]
+                joints, joints_vis = fliplr_joints(
+                    joints, joints_vis, img.shape[1], self.flip_pairs
+                )
+                c[0] = img.shape[1] - c[0] - 1
+
+        trans = get_affine_transform(c, s, r, self.image_size)
+        crop = cv2.warpAffine(
+            img,
+            trans,
+            (int(self.image_size[0]), int(self.image_size[1])),
+            flags=cv2.INTER_LINEAR,
+        )
+        for j in range(self.num_joints):
+            if joints_vis[j, 0] > 0.0:
+                joints[j, 0:2] = affine_transform(joints[j, 0:2], trans)
+
+        return dict(
+            image=np.ascontiguousarray(crop),
+            joints=joints[:, :2].astype(np.float32),
+            joints_vis=joints_vis[:, 0].astype(np.float32),
+            center=c,
+            scale=s,
+            rotation=r,
+            score=np.float32(score),
+            image_path=rec["image"],
+            instance_index=rec.get("instance_index", ""),
+        )
+
+    def evaluate(self, cfg, preds, output_dir, all_boxes, img_path, **kwargs):
+        raise NotImplementedError
+
+
+class COCODataset(BaseJointsDataset):
+    num_joints = 17
+    flip_pairs = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12],
+                  [13, 14], [15, 16]]
+    upper_body_ids = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    lower_body_ids = (11, 12, 13, 14, 15, 16)
+
+    def __init__(self, cfg, is_train: bool, image_set: Optional[str] = None):
+        super().__init__(cfg, is_train)
+        self.joints_weight = np.array(
+            [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.2, 1.2, 1.5, 1.5,
+             1.0, 1.0, 1.2, 1.2, 1.5, 1.5],
+            np.float32,
+        ).reshape((self.num_joints, 1))
+        self.image_set = image_set or (
+            cfg.DATASET.TRAIN_SET if is_train else cfg.DATASET.TEST_SET
+        )
+        root = cfg.DATASET.ROOT
+        prefix = "person_keypoints" if "test" not in self.image_set else "image_info"
+        self.ann_file = os.path.join(
+            root, "annotations", f"{prefix}_{self.image_set}.json"
+        )
+        image_dir = os.path.join(root, self.image_set)
+        corruption = (
+            cfg.TEST.CORRUPTION_TYPE
+            if (cfg.TEST.TEST_ROBUST and not is_train)
+            else ""
+        )
+        max_images = 200 if cfg.DATASET.MINI_COCO else None
+
+        use_gt = is_train or cfg.TEST.USE_GT_BBOX or cfg.DATASET.MINI_COCO
+        if use_gt:
+            self.records = records_lib.load_coco_gt_records(
+                self.ann_file,
+                image_dir,
+                self.aspect_ratio,
+                self.num_joints,
+                max_images=max_images,
+                corruption_type=corruption,
+                severity=cfg.TEST.SEVERITY,
+                root_c=cfg.DATASET.ROOT_C,
+            )
+        else:
+            self.records = records_lib.load_coco_det_records(
+                cfg.TEST.COCO_BBOX_FILE,
+                image_dir,
+                self.aspect_ratio,
+                cfg.TEST.IMAGE_THRE,
+                self.num_joints,
+                max_boxes=100 if cfg.DATASET.MINI_COCO else None,
+                corruption_type=corruption,
+                severity=cfg.TEST.SEVERITY,
+                root_c=cfg.DATASET.ROOT_C,
+            )
+        if is_train and cfg.DATASET.SELECT_DATA:
+            self.records = records_lib.select_data(self.records)
+
+    def evaluate(self, cfg, preds, output_dir, all_boxes, img_path, **kwargs):
+        from ..evaluation.coco_eval import evaluate_coco_keypoints
+
+        return evaluate_coco_keypoints(
+            cfg, self, preds, output_dir, all_boxes, img_path
+        )
+
+
+class MPIIDataset(BaseJointsDataset):
+    num_joints = 16
+    flip_pairs = [[0, 5], [1, 4], [2, 3], [10, 15], [11, 14], [12, 13]]
+    parent_ids = [1, 2, 6, 6, 3, 4, 6, 6, 7, 8, 11, 12, 7, 7, 13, 14]
+    upper_body_ids = (7, 8, 9, 10, 11, 12, 13, 14, 15)
+    lower_body_ids = (0, 1, 2, 3, 4, 5, 6)
+
+    def __init__(self, cfg, is_train: bool, image_set: Optional[str] = None):
+        super().__init__(cfg, is_train)
+        self.image_set = image_set or (
+            cfg.DATASET.TRAIN_SET if is_train else cfg.DATASET.TEST_SET
+        )
+        corruption = (
+            cfg.TEST.CORRUPTION_TYPE
+            if (cfg.TEST.TEST_ROBUST and not is_train)
+            else ""
+        )
+        self.records = records_lib.load_mpii_records(
+            cfg.DATASET.ROOT,
+            self.image_set,
+            self.num_joints,
+            corruption_type=corruption,
+            severity=cfg.TEST.SEVERITY,
+            root_c=cfg.DATASET.ROOT_C,
+        )
+        if is_train and cfg.DATASET.SELECT_DATA:
+            self.records = records_lib.select_data(self.records)
+
+    def evaluate(self, cfg, preds, output_dir, all_boxes=None, img_path=None,
+                 **kwargs):
+        from ..evaluation.mpii_eval import evaluate_mpii_pckh
+
+        return evaluate_mpii_pckh(cfg, self, preds, output_dir)
+
+
+class SyntheticPoseDataset(BaseJointsDataset):
+    """Random data with the full sample schema — tests and benchmarks."""
+
+    def __init__(self, cfg, is_train: bool, length: int = 64,
+                 num_joints: Optional[int] = None, seed: int = 0):
+        self.num_joints = num_joints or cfg.MODEL.NUM_JOINTS
+        self.flip_pairs = [
+            [i, i + 1] for i in range(0, self.num_joints - 1, 2)
+        ]
+        self.upper_body_ids = tuple(range(self.num_joints // 2))
+        self.lower_body_ids = tuple(range(self.num_joints // 2, self.num_joints))
+        super().__init__(cfg, is_train)
+        self._rng = np.random.RandomState(seed)
+        self._length = length
+        w, h = int(self.image_size[0]), int(self.image_size[1])
+        self.records = []
+        for i in range(length):
+            joints = np.zeros((self.num_joints, 3))
+            joints[:, 0] = self._rng.uniform(40, 240, self.num_joints)
+            joints[:, 1] = self._rng.uniform(40, 240, self.num_joints)
+            vis = np.ones((self.num_joints, 3))
+            vis[:, 2] = 0
+            self.records.append(
+                dict(
+                    image=f"synthetic://{i}",
+                    center=np.array([140.0, 140.0], np.float32),
+                    scale=np.array([1.0, 1.0], np.float32),
+                    joints_3d=joints,
+                    joints_3d_vis=vis,
+                    score=1.0,
+                    filename="",
+                    imgnum=0,
+                    instance_index=str(i),
+                )
+            )
+
+    def _read_image(self, path: str) -> np.ndarray:
+        idx = int(path.split("://")[1])
+        rng = np.random.RandomState(idx)
+        return rng.randint(0, 256, (280, 280, 3)).astype(np.uint8)
+
+    def evaluate(self, cfg, preds, output_dir, all_boxes=None, img_path=None,
+                 **kwargs):
+        return {"Null": 0.0}, 0.0
+
+
+def build_dataset(cfg, is_train: bool, image_set: Optional[str] = None):
+    name = cfg.DATASET.DATASET
+    if name == "coco":
+        return COCODataset(cfg, is_train, image_set)
+    if name == "mpii":
+        return MPIIDataset(cfg, is_train, image_set)
+    if name == "synthetic":
+        return SyntheticPoseDataset(cfg, is_train)
+    raise KeyError(f"unknown dataset '{name}'")

@@ -1,0 +1,103 @@
+"""Checkpointing with orbax.
+
+Behavioral reference: `save_checkpoint` (`lib/utils/utils.py:97-108`) and the
+AUTO_RESUME logic at `tools/train.py:238-269`: per-epoch checkpoint files
+with `_D`/`_G` suffixes, `model_best_*` snapshots, a final raw-weights
+export, and fine-tune loading with shape-filtered partial state dicts
+(`tools/train.py:198-235`, handled by models/torch_convert.py for torch
+files and by orbax restore for native ones).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Writes {output_dir}/checkpoint/<step in epochs> with the full train
+    state + metadata, plus best-model snapshots."""
+
+    def __init__(self, output_dir: str):
+        self.dir = os.path.abspath(os.path.join(output_dir, "checkpoint"))
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    def save(self, epoch: int, state, perf: float, is_best: bool,
+             extra: Optional[dict] = None):
+        payload = {
+            "epoch": np.int32(epoch),
+            "perf": np.float64(perf),
+            "state": _to_numpy_tree(state),
+        }
+        if extra:
+            payload["extra"] = _to_numpy_tree(extra)
+        path = os.path.join(self.dir, f"epoch_{epoch:04d}")
+        self._ckpt.save(path, payload, force=True)
+        latest = os.path.join(self.dir, "LATEST")
+        with open(latest, "w") as f:
+            f.write(str(epoch))
+        if is_best:
+            best = os.path.join(self.dir, "best")
+            self._ckpt.save(best, payload, force=True)
+
+    def latest_epoch(self) -> Optional[int]:
+        latest = os.path.join(self.dir, "LATEST")
+        if not os.path.exists(latest):
+            return None
+        with open(latest) as f:
+            return int(f.read().strip())
+
+    def restore(self, epoch: Optional[int] = None, item=None) -> Optional[dict]:
+        """Restore a checkpoint payload; `item` provides the pytree structure
+        (the current state) so arrays land with the right types."""
+        if epoch is None:
+            epoch = self.latest_epoch()
+            if epoch is None:
+                return None
+        path = os.path.join(self.dir, f"epoch_{epoch:04d}")
+        if not os.path.isdir(path):
+            return None
+        if item is not None:
+            template = {
+                "epoch": np.int32(0),
+                "perf": np.float64(0),
+                "state": _to_numpy_tree(item),
+            }
+            try:
+                return self._ckpt.restore(path, item=template)
+            except Exception:
+                return self._ckpt.restore(path)
+        return self._ckpt.restore(path)
+
+
+def export_final_state(output_dir: str, params, name: str = "final_state"):
+    """Final raw-weights export (`tools/train.py:331-337`)."""
+    path = os.path.join(output_dir, name)
+    ocp.PyTreeCheckpointer().save(
+        os.path.abspath(path), _to_numpy_tree(params), force=True
+    )
+    return path
+
+
+def load_torch_checkpoint(path: str, variables: dict, strict: bool = False):
+    """Load a torch .pth checkpoint into flax variables (fine-tune path,
+    `tools/train.py:198-235`)."""
+    import torch
+
+    from ..models.torch_convert import torch_to_flax_variables
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, dict) and "state_dict" in payload:
+        payload = payload["state_dict"]
+    if isinstance(payload, dict) and "best_state_dict" in payload:
+        payload = payload["best_state_dict"]
+    return torch_to_flax_variables(payload, variables, strict=strict)

@@ -1,0 +1,231 @@
+"""Host-side training/validation drivers.
+
+The TPU-native counterpart of `tools/train.py:283-328` +
+`lib/core/function.py`: the epoch loop, per-epoch LR schedule writes,
+AUTO_RESUME, best-model tracking and final export live here on the host;
+each iteration is exactly one compiled device program (engine/steps.py),
+fed by the threaded Loader with on-device preprocessing (normalize /
+3-view synthesis / Gaussian targets).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import Loader
+from ..ops.augment import make_advmix_views, IMAGENET_MEAN_STD
+from ..ops.heatmap import generate_target
+from ..ops.corruptions import corrupt, ALL_CORRUPTIONS
+from ..parallel import get_mesh, device_put_batch
+from ..parallel.mesh import replicate
+from ..utils.logging import AverageMeter, print_name_value, get_tb_writer
+from . import optim, state as state_lib, steps
+from .checkpoint import CheckpointManager, export_final_state
+
+logger = logging.getLogger("advmix_tpu")
+
+
+def make_preprocessor(cfg, advmix: bool, train: bool,
+                      random_corruption: bool = False):
+    """Jitted device-side batch prep: uint8 crops -> normalized views +
+    Gaussian targets. Runs on the mesh-sharded batch before the step."""
+    image_size = tuple(cfg.MODEL.IMAGE_SIZE)
+    heatmap_size = tuple(cfg.MODEL.HEATMAP_SIZE)
+    sigma = float(cfg.MODEL.SIGMA)
+    mean, std = IMAGENET_MEAN_STD
+
+    @jax.jit
+    def prep(image_u8, joints, joints_vis, key):
+        img = image_u8.astype(jnp.float32)
+        if random_corruption and train:
+            # --random_corruption baseline (JointsDataset.py:284-286):
+            # a random benchmark corruption at random severity per batch.
+            k_c, k_s, key = jax.random.split(key, 3)
+            # draw one (type, severity) per batch to keep the trace static:
+            # branch over 15 types x 5 severities via switch
+            idx = jax.random.randint(k_c, (), 0, 15 * 5)
+
+            def make_branch(i):
+                name = ALL_CORRUPTIONS[i // 5]
+                sev = i % 5 + 1
+                return lambda x, k: corrupt(x, name, sev, k)
+
+            img = jax.lax.switch(
+                idx, [make_branch(i) for i in range(75)], img, k_s
+            )
+        target, _, tw = generate_target(
+            joints, joints_vis, image_size, heatmap_size, sigma
+        )
+        if advmix:
+            views = make_advmix_views(img, key)
+            return {"views": views, "target": target, "target_weight": tw}
+        norm = (img - mean) / std
+        return {"image": norm, "target": target, "target_weight": tw}
+
+    return prep
+
+
+def make_eval_preprocessor(cfg):
+    image_size = tuple(cfg.MODEL.IMAGE_SIZE)
+    heatmap_size = tuple(cfg.MODEL.HEATMAP_SIZE)
+    sigma = float(cfg.MODEL.SIGMA)
+    mean, std = IMAGENET_MEAN_STD
+
+    @jax.jit
+    def prep(image_u8, joints, joints_vis):
+        img = image_u8.astype(jnp.float32)
+        target, _, tw = generate_target(
+            joints, joints_vis, image_size, heatmap_size, sigma
+        )
+        return {"image": (img - mean) / std, "target": target,
+                "target_weight": tw}
+
+    return prep
+
+
+def train_epoch(
+    cfg,
+    step_fn,
+    prep_fn,
+    state,
+    loader: Loader,
+    mesh,
+    epoch: int,
+    key,
+    writer=None,
+    writer_state=None,
+    advmix: bool = False,
+):
+    """One epoch of compiled steps (reference `train`/`train_advmix`)."""
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    losses = AverageMeter()
+    accs = AverageMeter()
+
+    end = time.time()
+    for i, host_batch in enumerate(loader):
+        data_time.update(time.time() - end)
+        key, sub = jax.random.split(key)
+        raw = device_put_batch(
+            {
+                "image": host_batch["image"],
+                "joints": host_batch["joints"],
+                "joints_vis": host_batch["joints_vis"],
+            },
+            mesh,
+        )
+        batch = prep_fn(raw["image"], raw["joints"], raw["joints_vis"], sub)
+        state, metrics = step_fn(state, batch)
+
+        loss_key = "loss_d" if advmix else "loss"
+        n = host_batch["_n"]
+        losses.update(float(metrics[loss_key]), n)
+        accs.update(float(metrics["acc"]), int(metrics["acc_cnt"]))
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        if i % cfg.PRINT_FREQ == 0:
+            msg = (
+                f"Epoch: [{epoch}][{i}/{len(loader)}]\t"
+                f"Time {batch_time.val:.3f}s ({batch_time.avg:.3f}s)\t"
+                f"Speed {n / max(batch_time.val, 1e-9):.1f} samples/s\t"
+                f"Data {data_time.val:.3f}s ({data_time.avg:.3f}s)\t"
+                f"Loss {losses.val:.5f} ({losses.avg:.5f})\t"
+                f"Accuracy {accs.val:.3f} ({accs.avg:.3f})"
+            )
+            logger.info(msg)
+            if writer is not None and writer_state is not None:
+                gs = writer_state.get("train_global_steps", 0)
+                writer.add_scalar("train_loss", losses.val, gs)
+                writer.add_scalar("train_acc", accs.val, gs)
+                writer_state["train_global_steps"] = gs + 1
+    return state, key
+
+
+def validate(
+    cfg,
+    eval_step,
+    prep_fn,
+    params,
+    batch_stats,
+    dataset,
+    loader: Loader,
+    mesh,
+    output_dir: str,
+    writer=None,
+    writer_state=None,
+):
+    """Full validation pass + dataset.evaluate
+    (reference `validate`, lib/core/function.py:200-360)."""
+    losses = AverageMeter()
+    accs = AverageMeter()
+    num_samples = len(dataset)
+    all_preds = np.zeros((num_samples, dataset.num_joints, 3), np.float32)
+    all_boxes = np.zeros((num_samples, 6))
+    image_paths = []
+    idx = 0
+    t_device = 0.0
+
+    for host_batch in loader:
+        raw = device_put_batch(
+            {
+                "image": host_batch["image"],
+                "joints": host_batch["joints"],
+                "joints_vis": host_batch["joints_vis"],
+                "center": host_batch["center"].astype(np.float32),
+                "scale": host_batch["scale"].astype(np.float32),
+            },
+            mesh,
+        )
+        prepped = prep_fn(raw["image"], raw["joints"], raw["joints_vis"])
+        batch = dict(prepped)
+        batch["center"] = raw["center"]
+        batch["scale"] = raw["scale"]
+        t0 = time.time()
+        preds, maxvals, metrics = eval_step(params, batch_stats, batch)
+        preds, maxvals = jax.device_get((preds, maxvals))
+        t_device += time.time() - t0
+
+        n = host_batch["_n"]
+        losses.update(float(metrics["loss"]), n)
+        accs.update(float(metrics["acc"]), int(metrics["acc_cnt"]))
+
+        c = host_batch["center"][:n]
+        s = host_batch["scale"][:n]
+        score = host_batch["score"][:n]
+        all_preds[idx : idx + n, :, 0:2] = preds[:n]
+        all_preds[idx : idx + n, :, 2:3] = maxvals[:n]
+        all_boxes[idx : idx + n, 0:2] = c
+        all_boxes[idx : idx + n, 2:4] = s
+        all_boxes[idx : idx + n, 4] = np.prod(s * 200, 1)
+        all_boxes[idx : idx + n, 5] = score
+        image_paths.extend(host_batch["image_path"][:n])
+        idx += n
+
+    logger.info(
+        "=> The average device time per batch: %.4fs", t_device / max(len(loader), 1)
+    )
+    name_values, perf = dataset.evaluate(
+        cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_paths
+    )
+    if isinstance(name_values, list):
+        for nv in name_values:
+            print_name_value(logger, nv, cfg.MODEL.NAME)
+    else:
+        print_name_value(logger, name_values, cfg.MODEL.NAME)
+
+    if writer is not None and writer_state is not None:
+        gs = writer_state.get("valid_global_steps", 0)
+        writer.add_scalar("valid_loss", losses.avg, gs)
+        writer.add_scalar("valid_acc", accs.avg, gs)
+        writer_state["valid_global_steps"] = gs + 1
+    return name_values, perf

@@ -1,0 +1,114 @@
+"""COCO keypoint evaluation driver.
+
+Behavioral reference: `COCODataset.evaluate` (`lib/dataset/coco.py:295-454`):
+per-detection rescoring (mean keypoint score above IN_VIS_THRE times box
+score), per-image OKS-NMS (greedy or soft), results-json writing with the
+same schema, then COCO keypoint AP via our pycocotools-free evaluator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict, defaultdict
+
+import numpy as np
+
+from ..ops.nms import oks_nms_np, soft_oks_nms_np
+from .cocoeval_np import COCOKeypointEval, STATS_NAMES
+
+
+def evaluate_coco_keypoints(cfg, dataset, preds, output_dir, all_boxes, img_path):
+    """preds: (N, J, 3) in original image coords; all_boxes: (N, 6)
+    [center(2), scale(2), area, score]; img_path: list of image paths."""
+    rank = cfg.RANK
+    res_folder = os.path.join(output_dir, "results")
+    os.makedirs(res_folder, exist_ok=True)
+    if cfg.TEST.TEST_ROBUST and cfg.TEST.CORRUPTION_TYPE != "clean":
+        res_file = os.path.join(
+            res_folder,
+            "keypoints_{}_results_{}_{}_{}.json".format(
+                dataset.image_set, rank, cfg.TEST.CORRUPTION_TYPE,
+                cfg.TEST.SEVERITY,
+            ),
+        )
+    else:
+        res_file = os.path.join(
+            res_folder,
+            f"keypoints_{dataset.image_set}_results_{rank}.json",
+        )
+
+    num_joints = dataset.num_joints
+    in_vis_thre = cfg.TEST.IN_VIS_THRE
+    oks_thre = cfg.TEST.OKS_THRE
+
+    # group by image (the reference parses the 12-digit id from the path,
+    # coco.py:322)
+    by_image = defaultdict(list)
+    for idx in range(len(preds)):
+        image_id = int(str(img_path[idx])[-16:-4])
+        by_image[image_id].append(
+            dict(
+                keypoints=np.asarray(preds[idx]),
+                center=np.asarray(all_boxes[idx][0:2]),
+                scale=np.asarray(all_boxes[idx][2:4]),
+                area=float(all_boxes[idx][4]),
+                score=float(all_boxes[idx][5]),
+                image=image_id,
+            )
+        )
+
+    oks_nmsed = []
+    for image_id, img_kpts in by_image.items():
+        # rescore: kpt_score * box_score (coco.py:339-353)
+        for p in img_kpts:
+            box_score = p["score"]
+            kpt_scores = p["keypoints"][:, 2]
+            visible = kpt_scores > in_vis_thre
+            kpt_score = (
+                float(kpt_scores[visible].mean()) if visible.any() else 0.0
+            )
+            p["score"] = kpt_score * box_score
+
+        kpts_flat = np.array(
+            [p["keypoints"].flatten() for p in img_kpts]
+        )
+        scores = np.array([p["score"] for p in img_kpts])
+        areas = np.array([p["area"] for p in img_kpts])
+        if cfg.TEST.SOFT_NMS:
+            keep = soft_oks_nms_np(kpts_flat, scores, areas, oks_thre)
+        else:
+            keep = oks_nms_np(kpts_flat, scores, areas, oks_thre)
+        if len(keep) == 0:
+            oks_nmsed.append(img_kpts)
+        else:
+            oks_nmsed.append([img_kpts[k] for k in keep])
+
+    # write results json (schema per coco.py:408-439)
+    results = []
+    for img_kpts in oks_nmsed:
+        for p in img_kpts:
+            kp = np.zeros(num_joints * 3)
+            kp[0::3] = p["keypoints"][:, 0]
+            kp[1::3] = p["keypoints"][:, 1]
+            kp[2::3] = p["keypoints"][:, 2]
+            results.append(
+                dict(
+                    image_id=p["image"],
+                    category_id=1,
+                    keypoints=[float(v) for v in kp],
+                    score=float(p["score"]),
+                    center=[float(v) for v in p["center"]],
+                    scale=[float(v) for v in p["scale"]],
+                )
+            )
+    with open(res_file, "w") as f:
+        json.dump(results, f, sort_keys=True, indent=4)
+
+    if "test" in dataset.image_set:
+        return {"Null": 0}, 0
+
+    evaluator = COCOKeypointEval(dataset.ann_file, results)
+    stats = evaluator.run()
+    name_value = OrderedDict(zip(STATS_NAMES, [float(s) for s in stats]))
+    return name_value, name_value["AP"]

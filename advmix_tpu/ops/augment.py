@@ -20,8 +20,17 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+# torchvision Normalize constants used by the reference (tools/train.py:116),
+# pre-scaled to the [0, 255] pixel range
+IMAGENET_MEAN_STD = (
+    jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0,
+    jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -48,14 +57,15 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
     """PIL ImageOps.equalize, batched.
 
     PIL builds a per-channel LUT: step = (npixels - hist[last_nonzero]) // 255;
-    lut[i] = (cumsum_before(i) + step // 2) // step. Implemented with a
-    (B, C, 256) histogram via one-hot sums.
+    lut[i] = (cumsum_before(i) + step // 2) // step. The (B, C, 256)
+    histogram is built with vmapped bincount (scatter-add) — never
+    materializing a one-hot.
     """
     b, h, w, c = img.shape
     q = jnp.clip(jnp.floor(img), 0, 255).astype(jnp.int32)  # (B,H,W,C)
-    flat = q.transpose(0, 3, 1, 2).reshape(b, c, h * w)
-    onehot = jax.nn.one_hot(flat, 256, dtype=jnp.float32)  # (B,C,HW,256)
-    hist = jnp.sum(onehot, axis=2)  # (B,C,256)
+    flat = q.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    hist = jax.vmap(lambda v: jnp.bincount(v, length=256))(flat)
+    hist = hist.reshape(b, c, 256).astype(jnp.float32)
 
     # value of the last non-zero histogram bin
     idx = jnp.arange(256)
@@ -74,12 +84,11 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
     # identity where step == 0 (PIL keeps the channel unchanged)
     lut = jnp.where(step[..., None] > 0, lut, idx[None, None, :].astype(jnp.float32))
 
-    mapped = jnp.take_along_axis(
-        lut[:, None, None, :, :],  # (B,1,1,C,256)
-        q[..., None].transpose(0, 1, 2, 3, 4),  # (B,H,W,C,1)
-        axis=-1,
-    )[..., 0]
-    return mapped
+    # flat gather: value v of (batch b, channel ch) -> lut[b, ch, v]
+    flat_lut = lut.reshape(b * c * 256)
+    offsets = (jnp.arange(b)[:, None] * c + jnp.arange(c)[None, :]) * 256
+    gather_idx = q + offsets[:, None, None, :]
+    return jnp.take(flat_lut, gather_idx)
 
 
 def _smooth_filter(img: jnp.ndarray) -> jnp.ndarray:
@@ -130,18 +139,18 @@ _POLICIES = [
 ]
 
 # magnitude tables (advaug.py:48-63); only ops appearing above are needed
-import numpy as _np
-
 _RANGES = {
-    "posterize": _np.round(_np.linspace(8, 4, 10), 0).astype(int),
-    "solarize": _np.linspace(256, 0, 10),
-    "sharpness": _np.linspace(0.0, 0.9, 10),
+    "posterize": np.round(np.linspace(8, 4, 10), 0).astype(int),
+    "solarize": np.linspace(256, 0, 10),
+    "sharpness": np.linspace(0.0, 0.9, 10),
     "equalize": [0] * 10,
     "invert": [0] * 10,
 }
 
 
 def _apply_op(img, op: str, magnitude: float, sign: jnp.ndarray):
+    if op == "identity":
+        return img
     if op == "equalize":
         return equalize(img)
     if op == "invert":
@@ -156,11 +165,32 @@ def _apply_op(img, op: str, magnitude: float, sign: jnp.ndarray):
     raise ValueError(op)
 
 
+def _stage_variants(stage: int):
+    """Distinct (op, magnitude) variants appearing in stage 1 or 2 of the
+    policy table, with a per-policy index into that variant bank. Variant 0
+    is identity (used when the per-sample coin skips the op)."""
+    variants = [("identity", 0.0)]
+    index = []
+    for pol in _POLICIES:
+        p, op, mag_idx = pol[0 + 3 * stage], pol[1 + 3 * stage], pol[2 + 3 * stage]
+        mag = float(_RANGES[op][mag_idx])
+        key = (op, mag)
+        if key not in variants:
+            variants.append(key)
+        index.append(variants.index(key))
+    return variants, np.array(index)
+
+
 def autoaugment(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Apply a random ImageNet subpolicy per sample (batched).
 
     img: (B, H, W, 3) float in [0, 255]. One policy index, two application
     coins, and one magnitude sign are drawn per sample.
+
+    TPU-friendly evaluation: each stage computes its few distinct primitive
+    variants ONCE on the whole batch (the 12 subpolicies share ~6 variants
+    per stage — notably equalize, the expensive one, runs once per stage
+    instead of up to 18 times), then per-sample gather selects the variant.
     """
     b = img.shape[0]
     k_pol, k_p1, k_p2, k_sign = jax.random.split(key, 4)
@@ -168,33 +198,23 @@ def autoaugment(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     u1 = jax.random.uniform(k_p1, (b,))
     u2 = jax.random.uniform(k_p2, (b,))
     sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
+    sign = sign[:, None, None, None]
 
-    def apply_policy(i, image, u1s, u2s, sgn):
-        p1, op1, m1, p2, op2, m2 = _POLICIES[i]
-        mag1 = _RANGES[op1][m1]
-        mag2 = _RANGES[op2][m2]
-        out = jnp.where(
-            (u1s < p1)[:, None, None, None],
-            _apply_op(image, op1, mag1, sgn[:, None, None, None]),
-            image,
-        )
-        out = jnp.where(
-            (u2s < p2)[:, None, None, None],
-            _apply_op(out, op2, mag2, sgn[:, None, None, None]),
-            out,
-        )
-        return out
+    probs = np.array([(p[0], p[3]) for p in _POLICIES])  # (P, 2)
 
-    # All 12 subpolicies share a handful of primitive ops; lax.switch over
-    # per-sample policies would prevent batching, so compute each policy's
-    # output on the whole batch and select. 12 cheap elementwise programs on
-    # the VPU — negligible next to the model's MXU work, and fully fused.
-    outs = jnp.stack(
-        [apply_policy(i, img, u1, u2, sign) for i in range(len(_POLICIES))]
-    )  # (P, B, H, W, 3)
-    return jnp.take_along_axis(
-        outs, pol_idx[None, :, None, None, None], axis=0
-    )[0]
+    out = img
+    for stage, coin in ((0, u1), (1, u2)):
+        variants, pol_to_variant = _stage_variants(stage)
+        bank = jnp.stack(
+            [_apply_op(out, op, mag, sign) for op, mag in variants]
+        )  # (V, B, H, W, 3)
+        vidx = jnp.asarray(pol_to_variant)[pol_idx]  # (B,)
+        apply_p = jnp.asarray(probs[:, stage])[pol_idx]  # (B,)
+        vidx = jnp.where(coin < apply_p, vidx, 0)  # identity when coin fails
+        out = jnp.take_along_axis(
+            bank, vidx[None, :, None, None, None], axis=0
+        )[0]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -249,8 +269,8 @@ def gridmask(
 def make_advmix_views(
     clean: jnp.ndarray,  # (B, H, W, 3) float [0, 255]
     key: jax.Array,
-    normalize_mean=(0.485, 0.456, 0.406),
-    normalize_std=(0.229, 0.224, 0.225),
+    normalize_mean=None,
+    normalize_std=None,
 ) -> jnp.ndarray:
     """Build the channel-concat (B, H, W, 9) [clean, autoaug, gridmask]
     views, each normalized like torchvision ToTensor+Normalize
@@ -258,8 +278,11 @@ def make_advmix_views(
     k_aa, k_gm = jax.random.split(key)
     aa = autoaugment(clean, k_aa)
 
-    mean = jnp.asarray(normalize_mean, clean.dtype) * 255.0
-    std = jnp.asarray(normalize_std, clean.dtype) * 255.0
+    if normalize_mean is None:
+        mean, std = IMAGENET_MEAN_STD
+    else:
+        mean = jnp.asarray(normalize_mean, clean.dtype) * 255.0
+        std = jnp.asarray(normalize_std, clean.dtype) * 255.0
 
     def norm(x):
         return (x - mean) / std

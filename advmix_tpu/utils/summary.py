@@ -1,0 +1,53 @@
+"""Model summary: params + FLOPs.
+
+The reference computes per-layer params/FLOPs with forward hooks
+(`get_model_summary`, lib/utils/utils.py:110-242). The TPU-native
+equivalent uses XLA's own cost model: `jit(...).lower(...).cost_analysis()`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def model_summary(model, variables, sample_input, train: bool = False) -> dict:
+    n_params = sum(int(p.size) for p in jax.tree.leaves(variables["params"]))
+    n_stats = sum(
+        int(p.size) for p in jax.tree.leaves(variables.get("batch_stats", {}))
+    )
+
+    def fwd(v, x):
+        return model.apply(v, x, train=train)
+
+    flops = None
+    bytes_accessed = None
+    try:
+        lowered = jax.jit(fwd).lower(variables, sample_input)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        if cost:
+            flops = cost.get("flops")
+            bytes_accessed = cost.get("bytes accessed")
+    except Exception:
+        pass
+
+    return {
+        "params": n_params,
+        "batch_stats": n_stats,
+        "flops_per_batch": flops,
+        "bytes_accessed_per_batch": bytes_accessed,
+    }
+
+
+def format_summary(info: dict, name: str = "model") -> str:
+    lines = [f"=> {name} summary"]
+    lines.append(f"   params: {info['params'] / 1e6:.2f}M")
+    if info.get("flops_per_batch"):
+        lines.append(f"   fwd FLOPs/batch: {info['flops_per_batch'] / 1e9:.2f}G")
+    if info.get("bytes_accessed_per_batch"):
+        lines.append(
+            f"   bytes accessed/batch: {info['bytes_accessed_per_batch'] / 1e9:.2f}GB"
+        )
+    return "\n".join(lines)

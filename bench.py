@@ -1,0 +1,141 @@
+"""Headline benchmark: HRNet-W32 256x192 AdvMix training throughput.
+
+Measures the fully fused AdvMix iteration on the real TPU chip(s):
+on-device 3-view synthesis (AutoAugment + GridMask + normalize) -> UNet G
+forward + per-pixel softmax mixing -> D update (SmoothL1 heatmap loss + KD
+teacher term) -> adversarial G update — one compiled program per step over a
+data-parallel mesh (advmix_tpu/engine/steps.py).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+Baseline: the reference (AIprogrammer/AdvMix) publishes no throughput
+numbers (SURVEY §6). BASELINE.json's north star is >=3x an A100's
+img/s/chip for the same workload. We use an analytical A100 estimate,
+documented here so it can be revisited: AdvMix-HRNet-W32 costs ~63
+GFLOPs/img (D fwd x2 + bwd + teacher fwd + UNet fwd/bwd); at 30% MFU of an
+A100's 312 bf16 TFLOPs minus DataParallel scatter/gather overhead, a torch
+implementation lands around ~350 img/s/chip. vs_baseline is reported
+against 3x that (1050 img/s/chip), i.e. vs_baseline >= 1.0 meets the north
+star.
+
+Env knobs: BENCH_BATCH (per-chip batch, default 32), BENCH_DTYPE
+(bfloat16|float32, default bfloat16), BENCH_STEPS (default 20).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+A100_BASELINE_IMG_S = 350.0
+TARGET_MULTIPLE = 3.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: the HRNet-W32 backward is compile-heavy
+    # (~7 min cold on the axon tunnel); warm runs load from cache in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _w32_cfg
+    from advmix_tpu import models
+    from advmix_tpu.engine import optim, state as state_lib, steps
+    from advmix_tpu.ops.augment import make_advmix_views
+    from advmix_tpu.ops.heatmap import generate_target
+    from advmix_tpu.parallel import get_mesh, device_put_batch
+    from advmix_tpu.parallel.mesh import replicate
+
+    n_dev = len(jax.devices())
+    per_chip = int(os.environ.get("BENCH_BATCH", "32"))
+    batch_size = per_chip * n_dev
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    cfg = _w32_cfg((192, 256), (48, 64))
+    mesh = get_mesh()
+
+    model_d = models.get_pose_net(cfg, dtype=dtype)
+    model_g = models.get_generator(dtype=dtype)
+    tx_d = optim.get_optimizer(cfg)
+    tx_g = optim.get_generator_optimizer(cfg)
+    st = state_lib.create_advmix_state(
+        model_d, model_g, tx_d, tx_g, jax.random.PRNGKey(0),
+        jnp.zeros((2, 256, 192, 3)),
+    )
+    st = replicate(st, mesh)
+
+    rng = np.random.RandomState(0)
+    clean = jnp.asarray(
+        rng.randint(0, 256, (batch_size, 256, 192, 3)).astype(np.float32)
+    )
+    joints = jnp.asarray(
+        rng.uniform(0, 190, (batch_size, 17, 2)).astype(np.float32)
+    )
+    vis = jnp.ones((batch_size, 17), jnp.float32)
+    target, _, tw = generate_target(joints, vis, (192, 256), (48, 64), 2)
+
+    raw = device_put_batch(
+        {"clean": clean, "target": target, "target_weight": tw}, mesh
+    )
+
+    adv_step = steps.make_advmix_step(
+        model_d, model_g, tx_d, tx_g, cfg, mesh,
+        alpha=0.1, adv_loss_weight=1.0,
+    )
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def full_step(st, raw, key):
+        views = make_advmix_views(raw["clean"], key)
+        batch = {
+            "views": views,
+            "target": raw["target"],
+            "target_weight": raw["target_weight"],
+        }
+        return adv_step(st, batch)
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    for i in range(3):
+        st, metrics = full_step(st, raw, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        st, metrics = full_step(st, raw, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    img_s = batch_size * n_steps / dt
+    img_s_chip = img_s / n_dev
+    baseline = A100_BASELINE_IMG_S * TARGET_MULTIPLE
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "AdvMix HRNet-W32 256x192 fused train step throughput "
+                    f"(batch {per_chip}/chip, {dtype_name}, {n_dev} chip(s))"
+                ),
+                "value": round(img_s_chip, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s_chip / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

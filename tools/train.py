@@ -1,0 +1,185 @@
+"""Training CLI.
+
+Behavioral reference: `tools/train.py` — model (+ teacher copy and UNet
+generator under --advmix, :64-69), datasets/loaders, two optimizers with
+MultiStepLR (:184-186, 272-281), fine-tune loading with shape-filtered state
+dicts (:198-235), AUTO_RESUME (:238-269), epoch loop with per-epoch validate
+and best-model checkpointing (:283-328), final raw-weights export (:331-337).
+
+TPU redesign: one compiled program per iteration over a data-parallel mesh;
+the host loop only schedules epochs, LR writes and checkpoints.
+"""
+
+import os
+import pprint
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+from _parse import parse_args  # noqa: E402
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from advmix_tpu.config import get_default_config, update_config
+    from advmix_tpu import models
+    from advmix_tpu.data import Loader, build_dataset
+    from advmix_tpu.engine import optim, state as state_lib, steps
+    from advmix_tpu.engine import trainer as trainer_lib
+    from advmix_tpu.engine.checkpoint import (
+        CheckpointManager,
+        export_final_state,
+        load_torch_checkpoint,
+    )
+    from advmix_tpu.parallel import get_mesh
+    from advmix_tpu.parallel.mesh import replicate
+    from advmix_tpu.utils.logging import create_logger, get_tb_writer
+    from advmix_tpu.utils.summary import model_summary, format_summary
+
+    cfg = get_default_config()
+    update_config(cfg, args)
+
+    logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
+    logger.info(pprint.pformat(vars(args)))
+
+    mesh = get_mesh(args.num_devices or None)
+    n_dev = mesh.devices.size
+    dtype_name = args.dtype or cfg.TRAIN.DTYPE
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    logger.info(f"=> mesh: {n_dev} device(s), compute dtype {dtype_name}")
+
+    model = models.get_pose_net(cfg, dtype=dtype)
+    w, h = cfg.MODEL.IMAGE_SIZE
+    sample = jnp.zeros((2, h, w, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    tx = optim.get_optimizer(cfg)
+
+    advmix = bool(args.advmix) and args.sample_times > 1
+    if advmix:
+        model_g = models.get_generator(args, dtype=dtype)
+        tx_g = optim.get_generator_optimizer(cfg)
+        state = state_lib.create_advmix_state(
+            model, model_g, tx, tx_g, rng, sample,
+            gen_input_chn=args.gen_input_chn,
+        )
+        if args.load_from_D:
+            variables = {"params": state.params_d,
+                         "batch_stats": state.batch_stats_d}
+            loaded = load_torch_checkpoint(args.load_from_D, variables)
+            state = state.replace(
+                params_d=loaded["params"],
+                batch_stats_d=loaded["batch_stats"],
+                params_t=jax.tree.map(np.copy, loaded["params"]),
+                batch_stats_t=jax.tree.map(np.copy, loaded["batch_stats"]),
+            )
+            logger.info(f"=> loaded D and teacher from {args.load_from_D}")
+        step_fn = steps.make_advmix_step(
+            model, model_g, tx, tx_g, cfg, mesh,
+            alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
+        )
+    else:
+        state = state_lib.create_pose_state(model, tx, rng, sample)
+        if cfg.MODEL.INIT_WEIGHTS and os.path.isfile(cfg.MODEL.PRETRAINED):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            loaded = load_torch_checkpoint(cfg.MODEL.PRETRAINED, variables)
+            state = state.replace(
+                params=loaded["params"], batch_stats=loaded["batch_stats"]
+            )
+            logger.info(f"=> loaded pretrained {cfg.MODEL.PRETRAINED}")
+        step_fn = steps.make_train_step(model, tx, cfg, mesh)
+
+    var0 = {"params": state.params_d if advmix else state.params,
+            "batch_stats": state.batch_stats_d if advmix else state.batch_stats}
+    logger.info(format_summary(model_summary(model, var0, sample),
+                               cfg.MODEL.NAME))
+
+    # datasets
+    train_dataset = build_dataset(cfg, is_train=True)
+    # MINI_COCO debug mode validates on the train set (tools/train.py:127-134)
+    valid_dataset = build_dataset(
+        cfg,
+        is_train=False,
+        image_set=cfg.DATASET.TRAIN_SET if cfg.DATASET.MINI_COCO else None,
+    )
+    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
+    test_batch = cfg.TEST.BATCH_SIZE_PER_GPU * n_dev
+    train_loader = Loader(train_dataset, batch_size,
+                          shuffle=cfg.TRAIN.SHUFFLE, drop_last=True)
+    valid_loader = Loader(valid_dataset, test_batch, shuffle=False)
+    logger.info(
+        f"=> {len(train_dataset)} train / {len(valid_dataset)} val samples"
+    )
+
+    prep_train = trainer_lib.make_preprocessor(
+        cfg, advmix=advmix, train=True,
+        random_corruption=args.random_corruption,
+    )
+    prep_eval = trainer_lib.make_eval_preprocessor(cfg)
+    eval_step = steps.make_eval_step(model, cfg, valid_dataset.flip_pairs, mesh)
+
+    ckpt = CheckpointManager(output_dir)
+    begin_epoch = cfg.TRAIN.BEGIN_EPOCH
+    best_perf = -1.0
+
+    if cfg.AUTO_RESUME:
+        restored = ckpt.restore(item=state)
+        if restored is not None:
+            state = jax.tree.map(
+                lambda t, s: jnp.asarray(s, getattr(t, "dtype", None)),
+                state, restored["state"],
+            )
+            begin_epoch = int(restored["epoch"]) + 1
+            best_perf = float(restored["perf"])
+            logger.info(f"=> auto-resumed at epoch {begin_epoch}")
+
+    state = replicate(state, mesh)
+    writer = get_tb_writer(tb_dir)
+    writer_state = {"train_global_steps": 0, "valid_global_steps": 0}
+    key = jax.random.PRNGKey(1234)
+
+    for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
+        # per-epoch MultiStepLR writes (tools/train.py:272-281)
+        if advmix:
+            new_opt_d, lr = optim.epoch_lr_update(state.opt_state_d, cfg, epoch)
+            new_opt_g, _ = optim.epoch_lr_update(state.opt_state_g, cfg, epoch)
+            state = state.replace(opt_state_d=new_opt_d, opt_state_g=new_opt_g)
+        else:
+            new_opt, lr = optim.epoch_lr_update(state.opt_state, cfg, epoch)
+            state = state.replace(opt_state=new_opt)
+        logger.info(f"=> epoch {epoch} lr {lr:.6g}")
+
+        train_loader.set_epoch(epoch)
+        state, key = trainer_lib.train_epoch(
+            cfg, step_fn, prep_train, state, train_loader, mesh, epoch, key,
+            writer, writer_state, advmix=advmix,
+        )
+
+        params = state.params_d if advmix else state.params
+        stats = state.batch_stats_d if advmix else state.batch_stats
+        name_values, perf = trainer_lib.validate(
+            cfg, eval_step, prep_eval, params, stats, valid_dataset,
+            valid_loader, mesh, output_dir, writer, writer_state,
+        )
+
+        is_best = perf > best_perf
+        best_perf = max(perf, best_perf)
+        logger.info(f"=> saving checkpoint to {output_dir} (best: {is_best})")
+        ckpt.save(epoch, jax.device_get(state), perf, is_best)
+
+    params = state.params_d if advmix else state.params
+    final = export_final_state(output_dir, jax.device_get(params))
+    logger.info(f"=> final state saved to {final}")
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ from collections import OrderedDict, defaultdict
 
 import numpy as np
 
-from ..ops.nms import oks_nms_np, soft_oks_nms_np
+from ..native import oks_nms, soft_oks_nms  # C++ with numpy fallback
 from .cocoeval_np import COCOKeypointEval, STATS_NAMES
 
 
@@ -76,9 +76,9 @@ def evaluate_coco_keypoints(cfg, dataset, preds, output_dir, all_boxes, img_path
         scores = np.array([p["score"] for p in img_kpts])
         areas = np.array([p["area"] for p in img_kpts])
         if cfg.TEST.SOFT_NMS:
-            keep = soft_oks_nms_np(kpts_flat, scores, areas, oks_thre)
+            keep = soft_oks_nms(kpts_flat, scores, areas, oks_thre)
         else:
-            keep = oks_nms_np(kpts_flat, scores, areas, oks_thre)
+            keep = oks_nms(kpts_flat, scores, areas, oks_thre)
         if len(keep) == 0:
             oks_nmsed.append(img_kpts)
         else:

@@ -1,0 +1,96 @@
+"""Pallas TPU kernel: pairwise OKS matrix.
+
+TPU counterpart of the reference's CUDA bbox-NMS kernel
+(`lib/nms/nms_kernel.cu:33-77`), per the north-star design (SURVEY §2 row
+22): the quadratic pairwise-similarity computation runs on device in
+(TILE x TILE) blocks; the sequential greedy suppression runs either as a
+small on-device while_loop (ops/nms.py:oks_nms_jax) or on the host in C++
+(native/nms.cpp:greedy_from_matrix).
+
+Layout: keypoints are passed as per-joint coordinate planes (J, N) so every
+block op is a well-tiled 2D (TILE_N x TILE_N) VPU computation; the J loop
+(17 for COCO) is unrolled at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nms import COCO_SIGMAS
+
+TILE = 128
+
+
+def _oks_tile_kernel(xs_ref, ys_ref, xd_ref, yd_ref, area_s_ref,
+                     area_d_ref, invvar_ref, out_ref, *, num_joints):
+    """One (TILE, TILE) tile of the OKS matrix.
+
+    xs/ys: (J, TILE) source (row) joint coords; xd/yd: (J, TILE) dest
+    (column) coords; areas (1, TILE) each; invvar (1, J) in SMEM-like VMEM.
+    """
+    a_s = area_s_ref[0, :]  # (TILE,) rows
+    a_d = area_d_ref[0, :]  # (TILE,) cols
+    denom = (a_s[:, None] + a_d[None, :]) * 0.5 + 2.220446049250313e-16
+    inv_denom = 0.5 / denom  # folds the final /2
+
+    acc = jnp.zeros((TILE, TILE), jnp.float32)
+    for j in range(num_joints):
+        dx = xs_ref[j, :][:, None] - xd_ref[j, :][None, :]
+        dy = ys_ref[j, :][:, None] - yd_ref[j, :][None, :]
+        e = (dx * dx + dy * dy) * (invvar_ref[0, j] * inv_denom)
+        acc = acc + jnp.exp(-e)
+    out_ref[:, :] = acc * (1.0 / num_joints)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def oks_matrix_pallas(
+    kpts: jnp.ndarray,  # (N, J, 2) keypoint coords
+    areas: jnp.ndarray,  # (N,)
+    sigmas: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full (N, N) OKS matrix; N is padded to a TILE multiple internally."""
+    n, j, _ = kpts.shape
+    if sigmas is None:
+        sigmas = jnp.asarray(COCO_SIGMAS, jnp.float32)
+    invvar = (1.0 / ((sigmas * 2.0) ** 2)).reshape(1, j)
+
+    n_pad = max(TILE, ((n + TILE - 1) // TILE) * TILE)
+    # planes: (J, N_pad) per coordinate — lane-dim friendly
+    x = jnp.zeros((j, n_pad), jnp.float32).at[:, :n].set(kpts[:, :, 0].T)
+    y = jnp.zeros((j, n_pad), jnp.float32).at[:, :n].set(kpts[:, :, 1].T)
+    a = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(areas)
+
+    grid = (n_pad // TILE, n_pad // TILE)
+    out = pl.pallas_call(
+        functools.partial(_oks_tile_kernel, num_joints=j),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((j, TILE), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),  # xs (rows)
+            pl.BlockSpec((j, TILE), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),  # ys
+            pl.BlockSpec((j, TILE), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),  # xd (cols)
+            pl.BlockSpec((j, TILE), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),  # yd
+            pl.BlockSpec((1, TILE), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),  # area rows
+            pl.BlockSpec((1, TILE), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),  # area cols
+            pl.BlockSpec((1, j), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),  # invvar
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, k: (i, k),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, y, x, y, a, a, invvar)
+    return out[:n, :n]

@@ -1,0 +1,76 @@
+"""Native C++ NMS and Pallas OKS kernel parity vs the numpy oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from advmix_tpu.ops import nms as N
+from advmix_tpu import native
+from advmix_tpu.ops.pallas.oks_kernel import oks_matrix_pallas
+
+
+def _random_dets(rng, n, j=17):
+    kpts = np.zeros((n, j * 3))
+    for i in range(n):
+        cx, cy = rng.uniform(50, 400, 2)
+        kpts[i, 0::3] = cx + rng.randn(j) * 20
+        kpts[i, 1::3] = cy + rng.randn(j) * 20
+        kpts[i, 2::3] = 1.0
+    scores = rng.uniform(0.05, 1.0, n)
+    areas = rng.uniform(2000, 9000, n)
+    return kpts, scores, areas
+
+
+def test_native_builds():
+    assert native.get_lib() is not None, "C++ NMS library failed to build"
+
+
+def test_native_bbox_nms_parity():
+    rng = np.random.RandomState(0)
+    dets = np.concatenate(
+        [rng.uniform(0, 200, (40, 2)), rng.uniform(20, 80, (40, 2)),
+         rng.uniform(0, 1, (40, 1))], axis=1
+    )
+    dets[:, 2:4] += dets[:, 0:2]
+    for thr in [0.3, 0.5, 0.7]:
+        assert native.bbox_nms(dets, thr) == N.bbox_nms_np(dets, thr)
+
+
+def test_native_oks_nms_parity():
+    rng = np.random.RandomState(1)
+    kpts, scores, areas = _random_dets(rng, 30)
+    for thr in [0.3, 0.5, 0.9]:
+        ref = N.oks_nms_np(kpts, scores, areas, thr)
+        assert native.oks_nms(kpts, scores, areas, thr) == ref
+
+
+def test_native_soft_oks_nms_parity():
+    rng = np.random.RandomState(2)
+    kpts, scores, areas = _random_dets(rng, 25)
+    for thr in [0.5, 0.9]:
+        ref = N.soft_oks_nms_np(kpts, scores, areas, thr)
+        assert native.soft_oks_nms(kpts, scores, areas, thr) == ref
+
+
+def test_greedy_from_matrix_parity():
+    rng = np.random.RandomState(3)
+    kpts, scores, areas = _random_dets(rng, 24)
+    k3 = kpts.reshape(24, -1, 3)
+    sim = np.asarray(N.oks_matrix(jnp.asarray(k3), jnp.asarray(areas)))
+    keep = native.greedy_from_matrix(sim, scores.astype(np.float32), 0.5)
+    ref = N.oks_nms_np(kpts, scores, areas, 0.5)
+    assert keep == ref
+
+
+def test_pallas_oks_matrix_matches_jax():
+    """Interpreter mode on CPU; the same code path compiles on TPU."""
+    rng = np.random.RandomState(4)
+    n = 37
+    kpts, scores, areas = _random_dets(rng, n)
+    k3 = jnp.asarray(kpts.reshape(n, -1, 3)[:, :, :2], jnp.float32)
+    a = jnp.asarray(areas, jnp.float32)
+    ref = np.asarray(N.oks_matrix(jnp.asarray(kpts.reshape(n, -1, 3)), a))
+    out = np.asarray(oks_matrix_pallas(k3, a, interpret=True))
+    assert out.shape == (n, n)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

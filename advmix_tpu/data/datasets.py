@@ -307,6 +307,11 @@ def build_dataset(cfg, is_train: bool, image_set: Optional[str] = None):
         return COCODataset(cfg, is_train, image_set)
     if name == "mpii":
         return MPIIDataset(cfg, is_train, image_set)
+    if name in ("bottomup_coco", "ochuman"):
+        # OCHuman ships COCO-format person_keypoints json; same loader.
+        from .bottomup import BottomUpCOCODataset
+
+        return BottomUpCOCODataset(cfg, is_train, image_set)
     if name == "synthetic":
         return SyntheticPoseDataset(cfg, is_train)
     raise KeyError(f"unknown dataset '{name}'")

@@ -273,3 +273,124 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-up (HigherHRNet) steps — no reference counterpart (SURVEY §6 gap);
+# loss composition per the public HigherHRNet recipe: per-scale heatmap MSE
+# + associative-embedding pull/push at the 1/4 tag head.
+# ---------------------------------------------------------------------------
+
+def make_bottomup_step(
+    model,
+    tx,
+    cfg,
+    mesh: Mesh,
+    pull_factor: float = 0.001,
+    push_factor: float = 0.001,
+    axis: str = "data",
+):
+    from ..ops.ae import ae_loss, bottomup_heatmap_loss, generate_bottomup_target
+
+    num_joints = cfg.MODEL.NUM_JOINTS
+    input_size = int(cfg.MODEL.IMAGE_SIZE[0])
+    sigma = float(cfg.MODEL.SIGMA)
+
+    def step(state, batch):
+        joints = batch["joints"]  # (B, M, J, 2) in input coords
+        vis = batch["joints_vis"]  # (B, M, J)
+
+        def loss_fn(params):
+            outs, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total = 0.0
+            pull = push = 0.0
+            locs_quarter = None
+            for si, out in enumerate(outs):
+                res = out.shape[1]
+                ratio = res / input_size
+                tgt, locs = generate_bottomup_target(
+                    joints * ratio, vis, (out.shape[2], out.shape[1]), sigma
+                )
+                total = total + bottomup_heatmap_loss(
+                    out[..., :num_joints], tgt
+                )
+                if si == 0:
+                    locs_quarter = locs
+                    pull, push = ae_loss(out[..., num_joints:], locs, vis)
+            total = total + pull_factor * pull + push_factor * push
+            return total, (mut["batch_stats"], pull, push)
+
+        (loss, (new_stats, pull, push)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = lax.pmean(grads, axis)
+        new_stats = lax.pmean(new_stats, axis)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": lax.pmean(loss, axis),
+            "pull": lax.pmean(pull, axis),
+            "push": lax.pmean(push, axis),
+            # PCK has no single-person meaning here; report a constant count
+            "acc": lax.pmean(jnp.zeros(()), axis),
+            "acc_cnt": lax.psum(jnp.zeros((), jnp.int32), axis),
+        }
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
+                            max_peaks: int = 30, axis: str = "data"):
+    """Forward (+ flip TTA), aggregate scales, extract top-k peaks on
+    device; host-side grouping consumes the outputs
+    (evaluation/grouping.py)."""
+    from ..ops.ae import aggregate_heatmaps, top_k_peaks
+    from ..ops.transforms import flip_back
+
+    num_joints = cfg.MODEL.NUM_JOINTS
+    flip_test = cfg.TEST.FLIP_TEST
+    pairs = tuple(tuple(p) for p in flip_pairs)
+
+    def step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outs = model.apply(variables, batch["image"], train=False)
+        target_hw = (outs[-1].shape[1], outs[-1].shape[2])
+        heat, tags = aggregate_heatmaps(outs, target_hw)
+        if flip_test:
+            outs_f = model.apply(
+                variables, batch["image"][:, :, ::-1, :], train=False
+            )
+            heat_f, tags_f = aggregate_heatmaps(outs_f, target_hw)
+            heat = (heat + flip_back(heat_f, pairs)) * 0.5
+            # tags are not averaged across flips (distinct embedding spaces);
+            # standard practice keeps the unflipped tags
+        peaks = top_k_peaks(heat, tags, k=max_peaks)
+        return heat, tags, peaks
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

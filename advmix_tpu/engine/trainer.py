@@ -229,3 +229,84 @@ def validate(
         writer.add_scalar("valid_acc", accs.avg, gs)
         writer_state["valid_global_steps"] = gs + 1
     return name_values, perf
+
+
+def validate_bottomup(
+    cfg,
+    eval_step,
+    params,
+    batch_stats,
+    dataset,
+    loader: Loader,
+    mesh,
+    output_dir: str,
+    detection_thresh: float = 0.1,
+    tag_thresh: float = 1.0,
+):
+    """Bottom-up validation: device forward + peak extraction, host AE
+    grouping, inverse-affine back-projection, COCO-format results + OKS AP.
+    (No reference counterpart — public HigherHRNet recipe; SURVEY §6 gap.)
+    """
+    import os
+    import json as jsonlib
+
+    from ..evaluation.grouping import parse_bottomup
+    from ..evaluation.cocoeval_np import COCOKeypointEval, STATS_NAMES
+    from ..ops.transforms import get_affine_transform
+    from ..ops.augment import IMAGENET_MEAN_STD
+    from collections import OrderedDict
+
+    mean, std = IMAGENET_MEAN_STD
+
+    @jax.jit
+    def prep(image_u8):
+        return (image_u8.astype(jnp.float32) - mean) / std
+
+    results = []
+    for host_batch in loader:
+        raw = device_put_batch({"image": host_batch["image"]}, mesh)
+        batch = {"image": prep(raw["image"])}
+        heat, tags, peaks = eval_step(params, batch_stats, batch)
+        heat, tags, peaks = jax.device_get((heat, tags, peaks))
+        n = host_batch["_n"]
+        hm_h, hm_w = heat.shape[1], heat.shape[2]
+        for i in range(n):
+            pk = {k: peaks[k][i] for k in peaks}
+            people, scores = parse_bottomup(
+                heat[i], tags[i], pk, detection_thresh, tag_thresh
+            )
+            if len(people) == 0:
+                continue
+            c = host_batch["center"][i]
+            s = host_batch["scale"][i]
+            inv = get_affine_transform(c, s, 0, (hm_w, hm_h), inv=True)
+            image_id = int(str(host_batch["image_path"][i])[-16:-4])
+            for p, sc in zip(people, scores):
+                kps = np.zeros(dataset.num_joints * 3)
+                xy = np.concatenate(
+                    [p[:, :2], np.ones((p.shape[0], 1))], axis=1
+                ) @ inv.T
+                kps[0::3] = xy[:, 0]
+                kps[1::3] = xy[:, 1]
+                kps[2::3] = p[:, 2]
+                results.append(
+                    dict(image_id=image_id, category_id=1,
+                         keypoints=[float(v) for v in kps],
+                         score=float(sc))
+                )
+
+    res_folder = os.path.join(output_dir, "results")
+    os.makedirs(res_folder, exist_ok=True)
+    res_file = os.path.join(
+        res_folder, f"keypoints_{dataset.image_set}_results_bu.json"
+    )
+    with open(res_file, "w") as f:
+        jsonlib.dump(results, f)
+
+    if "test" in dataset.image_set:
+        return {"Null": 0}, 0
+    evaluator = COCOKeypointEval(dataset.ann_file, results)
+    stats = evaluator.run()
+    name_value = OrderedDict(zip(STATS_NAMES, [float(x) for x in stats]))
+    print_name_value(logger, name_value, cfg.MODEL.NAME)
+    return name_value, name_value["AP"]

@@ -5,11 +5,12 @@ The reference resolves architectures by name via
 use an explicit registry instead.
 """
 
-from . import pose_resnet, pose_hrnet, unet
+from . import pose_resnet, pose_hrnet, unet, higher_hrnet
 
 _REGISTRY = {
     "pose_resnet": pose_resnet.get_pose_net,
     "pose_hrnet": pose_hrnet.get_pose_net,
+    "pose_higher_hrnet": higher_hrnet.get_pose_net,
 }
 
 

@@ -32,6 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+# honor ADVMIX_PLATFORM=cpu (the session sitecustomize force-registers the
+# TPU backend and overrides JAX_PLATFORMS; jax.config wins over both)
+if os.environ.get("ADVMIX_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["ADVMIX_PLATFORM"])
+
 import numpy as np
 
 A100_BASELINE_IMG_S = 350.0

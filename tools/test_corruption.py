@@ -25,6 +25,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+# honor ADVMIX_PLATFORM=cpu (the session sitecustomize force-registers the
+# TPU backend and overrides JAX_PLATFORMS; jax.config wins over both)
+if os.environ.get("ADVMIX_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["ADVMIX_PLATFORM"])
+
 from _parse import parse_args  # noqa: E402
 
 BENCHMARK_15 = [
@@ -43,6 +50,9 @@ def main(argv=None):
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--all_corruptions", default=False, action="store_true")
     extra.add_argument("--on_the_fly", default=False, action="store_true")
+    extra.add_argument("--distortions", type=str, default="",
+                       help="comma-separated subset to sweep (default: "
+                            "the 15 benchmark corruptions)")
     extra_args, rest = extra.parse_known_args(argv)
     args = parse_args(rest)
     args.test_robust = True
@@ -147,7 +157,12 @@ def main(argv=None):
             rec.write("\n")
         return perf
 
-    distortions = BENCHMARK_15 + (HOLDOUT_4 if extra_args.all_corruptions else [])
+    if extra_args.distortions:
+        distortions = extra_args.distortions.split(",")
+    else:
+        distortions = BENCHMARK_15 + (
+            HOLDOUT_4 if extra_args.all_corruptions else []
+        )
 
     results = [run_one("clean", 0)]
     for name in distortions:

@@ -32,49 +32,7 @@ class HRNetTrunk(PoseHighResolutionNet):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = x.astype(self.dtype)
-        x = conv("conv1", 64, 3, 2, 1, dtype=self.dtype)(x)
-        x = batch_norm("bn1", train, self.dtype)(x)
-        x = nn.relu(x)
-        x = conv("conv2", 64, 3, 2, 1, dtype=self.dtype)(x)
-        x = batch_norm("bn2", train, self.dtype)(x)
-        x = nn.relu(x)
-        from .pose_resnet import Bottleneck
-
-        for b in range(4):
-            bp = f"layer1_{b}"
-            x = Bottleneck(
-                planes=64, stride=1, downsample=(b == 0), prefix=bp + "_",
-                dtype=self.dtype, name=bp,
-            )(x, train)
-
-        pre_channels = [256]
-        xs = [x]
-        from .pose_hrnet import HighResolutionModule
-
-        for si, scfg in ((2, self.stage2_cfg), (3, self.stage3_cfg),
-                         (4, self.stage4_cfg)):
-            exp = BLOCK_EXPANSION[scfg["BLOCK"]]
-            cur_channels = [c * exp for c in scfg["NUM_CHANNELS"]]
-            xs = self._transition(
-                f"transition{si - 1}", xs, pre_channels, cur_channels, train
-            )
-            last_stage = si == 4
-            for m in range(scfg["NUM_MODULES"]):
-                multi_out = not (last_stage and m == scfg["NUM_MODULES"] - 1)
-                xs = HighResolutionModule(
-                    num_branches=scfg["NUM_BRANCHES"],
-                    block=scfg["BLOCK"],
-                    num_blocks=tuple(scfg["NUM_BLOCKS"]),
-                    num_inchannels=tuple(cur_channels),
-                    num_channels=tuple(scfg["NUM_CHANNELS"]),
-                    multi_scale_output=multi_out,
-                    prefix=f"stage{si}_{m}",
-                    dtype=self.dtype,
-                    name=f"stage{si}_{m}",
-                )(xs, train)
-            pre_channels = cur_channels
-        return xs[0]
+        return self._stem_and_stages(x, train)[0]
 
 
 class HigherHRNet(nn.Module):

@@ -26,6 +26,65 @@ BLOCK_EXPANSION = {"BASIC": 1, "BOTTLENECK": 4}
 BLOCK_CLS = {"BASIC": BasicBlock, "BOTTLENECK": Bottleneck}
 
 
+def _scan_blocks(cls, planes, n, name, dtype):
+    """Scan n identical (stride-1, no-downsample) residual blocks.
+
+    Stacks the n blocks' params on a leading axis and runs them as one
+    lax.scan body — the traced/compiled graph contains ONE block instead of
+    n. Numerics are identical to the unrolled loop; only the param pytree
+    layout differs (see torch_convert.stack_for_scan)."""
+
+    class Body(nn.Module):
+        @nn.compact
+        def __call__(self, carry, train):
+            out = cls(
+                planes=planes, stride=1, downsample=False, prefix="block_",
+                dtype=dtype, name="block",
+            )(carry, train)
+            return out, None
+
+    scanned = nn.scan(
+        Body,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast,),
+        length=n,
+    )
+
+    def run(x, train):
+        carry, _ = scanned(name=name)(x, train)
+        return carry
+
+    return run
+
+
+def _scan_hr_modules(n, name, dtype, use_scan, **mod_kwargs):
+    """Scan n identical HighResolutionModules (a whole stage prefix)."""
+
+    class Body(nn.Module):
+        @nn.compact
+        def __call__(self, carry, train):
+            out = HighResolutionModule(
+                prefix="mod", dtype=dtype, use_scan=use_scan, name="mod",
+                **mod_kwargs,
+            )(list(carry), train)
+            return tuple(out), None
+
+    scanned = nn.scan(
+        Body,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast,),
+        length=n,
+    )
+
+    def run(xs, train):
+        carry, _ = scanned(name=name)(tuple(xs), train)
+        return list(carry)
+
+    return run
+
+
 class HighResolutionModule(nn.Module):
     """One multi-branch module with pairwise fusion.
 
@@ -40,6 +99,7 @@ class HighResolutionModule(nn.Module):
     multi_scale_output: bool = True
     prefix: str = ""
     dtype: Any = jnp.float32
+    use_scan: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
@@ -53,16 +113,25 @@ class HighResolutionModule(nn.Module):
         for i in range(self.num_branches):
             x = xs[i]
             needs_ds = self.num_inchannels[i] != out_channels[i]
-            for b in range(self.num_blocks[i]):
-                bp = f"{p}_branches_{i}_{b}"
-                x = cls(
-                    planes=self.num_channels[i],
-                    stride=1,
-                    downsample=(b == 0 and needs_ds),
-                    prefix=bp + "_",
-                    dtype=self.dtype,
-                    name=bp,
+            nb = self.num_blocks[i]
+            if self.use_scan and not needs_ds and nb > 1:
+                # identical residual blocks -> one scanned body: shrinks
+                # the traced graph (and compile time) by ~nb x
+                x = _scan_blocks(
+                    cls, self.num_channels[i], nb,
+                    f"{p}_branches_{i}_scan", self.dtype,
                 )(x, train)
+            else:
+                for b in range(nb):
+                    bp = f"{p}_branches_{i}_{b}"
+                    x = cls(
+                        planes=self.num_channels[i],
+                        stride=1,
+                        downsample=(b == 0 and needs_ds),
+                        prefix=bp + "_",
+                        dtype=self.dtype,
+                        name=bp,
+                    )(x, train)
             ys.append(x)
 
         if self.num_branches == 1:
@@ -104,9 +173,9 @@ class PoseHighResolutionNet(nn.Module):
     num_joints: int = 17
     final_conv_kernel: int = 1
     dtype: Any = jnp.float32
+    use_scan: bool = False  # scan identical modules/blocks: ~4x smaller HLO
 
-    @nn.compact
-    def __call__(self, x, train: bool = True):
+    def _stem_and_stages(self, x, train: bool):
         x = x.astype(self.dtype)
         # stem
         x = conv("conv1", 64, 3, 2, 1, dtype=self.dtype)(x)
@@ -137,20 +206,38 @@ class PoseHighResolutionNet(nn.Module):
                 f"transition{si - 1}", xs, pre_channels, cur_channels, train
             )
             last_stage = si == 4
-            for m in range(scfg["NUM_MODULES"]):
-                multi_out = not (last_stage and m == scfg["NUM_MODULES"] - 1)
+            n_mod = scfg["NUM_MODULES"]
+            n_same = n_mod - (1 if last_stage else 0)
+            mod_kwargs = dict(
+                num_branches=scfg["NUM_BRANCHES"],
+                block=scfg["BLOCK"],
+                num_blocks=tuple(scfg["NUM_BLOCKS"]),
+                num_inchannels=tuple(cur_channels),
+                num_channels=tuple(scfg["NUM_CHANNELS"]),
+            )
+            start = 0
+            if self.use_scan and n_same > 1:
+                xs = _scan_hr_modules(
+                    n_same, f"stage{si}_scan", self.dtype, True,
+                    multi_scale_output=True, **mod_kwargs,
+                )(xs, train)
+                start = n_same
+            for m in range(start, n_mod):
+                multi_out = not (last_stage and m == n_mod - 1)
                 xs = HighResolutionModule(
-                    num_branches=scfg["NUM_BRANCHES"],
-                    block=scfg["BLOCK"],
-                    num_blocks=tuple(scfg["NUM_BLOCKS"]),
-                    num_inchannels=tuple(cur_channels),
-                    num_channels=tuple(scfg["NUM_CHANNELS"]),
                     multi_scale_output=multi_out,
                     prefix=f"stage{si}_{m}",
                     dtype=self.dtype,
+                    use_scan=self.use_scan,
                     name=f"stage{si}_{m}",
+                    **mod_kwargs,
                 )(xs, train)
             pre_channels = cur_channels
+        return xs
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        xs = self._stem_and_stages(x, train)
 
         pad = 1 if self.final_conv_kernel == 3 else 0
         out = conv(
@@ -194,7 +281,13 @@ class PoseHighResolutionNet(nn.Module):
 
 
 def get_pose_net(cfg, dtype=jnp.float32) -> PoseHighResolutionNet:
-    """Registry entry (`lib/models/pose_hrnet.py:495`)."""
+    """Registry entry (`lib/models/pose_hrnet.py:495`).
+
+    MODEL.EXTRA.USE_SCAN (TPU-native extension) enables the scanned
+    construction: identical stage modules / branch blocks become lax.scan
+    bodies, shrinking the compiled graph ~4x (same numerics, different
+    param pytree layout; torch checkpoint import requires USE_SCAN: false).
+    """
     extra = cfg.MODEL.EXTRA
     return PoseHighResolutionNet(
         stage2_cfg=dict(extra.STAGE2),
@@ -203,4 +296,5 @@ def get_pose_net(cfg, dtype=jnp.float32) -> PoseHighResolutionNet:
         num_joints=cfg.MODEL.NUM_JOINTS,
         final_conv_kernel=extra.FINAL_CONV_KERNEL,
         dtype=dtype,
+        use_scan=bool(extra.get("USE_SCAN", False)),
     )

@@ -132,3 +132,95 @@ def torch_to_flax_variables(
     if flat_stats:
         out["batch_stats"] = _unflatten(new_stats)
     return out
+
+
+# ---------------------------------------------------------------------------
+# scan <-> unscanned param restacking (PoseHighResolutionNet USE_SCAN)
+# ---------------------------------------------------------------------------
+
+def stack_for_scan(unscanned: dict, scanned_template: dict) -> dict:
+    """Restack an unscanned HRNet variable collection (params or
+    batch_stats) into the scanned layout.
+
+    The scanned model (pose_hrnet.py USE_SCAN) stores stage modules under
+    `stage<si>_scan/mod/...` with a leading module axis, and branch blocks
+    under `<prefix>_branches_<i>_scan/block/...` with a leading block axis.
+    This walks the scanned template and gathers the per-index leaves from
+    the unscanned tree, so torch checkpoints (imported via the unscanned
+    layout) can run in the scanned model.
+    """
+    import numpy as _np
+
+    flat_un = _flatten(unscanned)
+
+    def resolve(path, stage_m=None, block_b=None):
+        """Map a scanned path to the unscanned path for given indices."""
+        out = []
+        i = 0
+        stage_prefix = None
+        branch_prefix = None
+        while i < len(path):
+            p = path[i]
+            if (p.endswith("_scan") and p.startswith("stage")
+                    and "_branches_" not in p):
+                stage_prefix = p[: -len("_scan")] + f"_{stage_m}"
+                # skip following "mod" container
+                assert path[i + 1] == "mod"
+                out.append(stage_prefix)
+                i += 2
+                continue
+            if p.endswith("_scan") and "_branches_" in p:
+                # e.g. mod_branches_0_scan -> <stage>_branches_0_<b>
+                base = p[: -len("_scan")]
+                base = base.replace("mod", stage_prefix, 1) if base.startswith("mod") else base
+                branch_prefix = base + f"_{block_b}"
+                assert path[i + 1] == "block"
+                out.append(branch_prefix)
+                i += 2
+                continue
+            if p.startswith("mod_") and stage_prefix is not None:
+                out.append(p.replace("mod", stage_prefix, 1))
+                i += 1
+                continue
+            if p.startswith("block_") and branch_prefix is not None:
+                out.append(p.replace("block", branch_prefix, 1))
+                i += 1
+                continue
+            out.append(p)
+            i += 1
+        return tuple(out)
+
+    new_flat = {}
+    for path, tmpl in _flatten(scanned_template).items():
+        has_stage_scan = any(
+            p.endswith("_scan") and p.startswith("stage")
+            and "_branches_" not in p
+            for p in path
+        )
+        has_block_scan = any(
+            p.endswith("_scan") and "_branches_" in p for p in path
+        )
+        if not has_stage_scan and not has_block_scan:
+            new_flat[path] = flat_un[path]
+            continue
+        tmpl_shape = _np.asarray(tmpl).shape
+        if has_stage_scan and has_block_scan:
+            n_m, n_b = tmpl_shape[0], tmpl_shape[1]
+            stacked = _np.stack([
+                _np.stack([
+                    _np.asarray(flat_un[resolve(path, m, b)]) for b in range(n_b)
+                ]) for m in range(n_m)
+            ])
+        elif has_block_scan:
+            n_b = tmpl_shape[0]
+            stacked = _np.stack([
+                _np.asarray(flat_un[resolve(path, None, b)]) for b in range(n_b)
+            ])
+        else:
+            n_m = tmpl_shape[0]
+            stacked = _np.stack([
+                _np.asarray(flat_un[resolve(path, m, None)]) for m in range(n_m)
+            ])
+        assert stacked.shape == tmpl_shape, (path, stacked.shape, tmpl_shape)
+        new_flat[path] = stacked
+    return _unflatten(new_flat)

@@ -259,3 +259,49 @@ def test_unet_channel_progression():
     assert p["up_4_conv"]["kernel"].shape == (4, 4, 64, 128)
     assert p["up_3_conv"]["kernel"].shape == (4, 4, 32, 128)
     assert p["up_0_conv"]["kernel"].shape == (4, 4, 3, 16)
+
+
+def test_scan_equivalence():
+    """Scanned HRNet == unscanned HRNet numerically after param restacking."""
+    from advmix_tpu.models.torch_convert import stack_for_scan
+
+    stages = dict(
+        stage2_cfg=dict(NUM_MODULES=1, NUM_BRANCHES=2, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2], NUM_CHANNELS=[8, 16],
+                        FUSE_METHOD="SUM"),
+        stage3_cfg=dict(NUM_MODULES=3, NUM_BRANCHES=3, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2, 2], NUM_CHANNELS=[8, 16, 32],
+                        FUSE_METHOD="SUM"),
+        stage4_cfg=dict(NUM_MODULES=2, NUM_BRANCHES=4, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2, 2, 2], NUM_CHANNELS=[8, 16, 32, 64],
+                        FUSE_METHOD="SUM"),
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3),
+                    jnp.float32)
+    plain = PoseHighResolutionNet(num_joints=5, use_scan=False, **stages)
+    scan = PoseHighResolutionNet(num_joints=5, use_scan=True, **stages)
+    rng = jax.random.PRNGKey(7)
+    v_plain = plain.init(rng, x, train=False)
+    # randomize so the test is nontrivial (init is ~0 everywhere)
+    leaves, tree = jax.tree.flatten(v_plain)
+    keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+    leaves = [jax.random.normal(k, l.shape) * 0.05 + l
+              for k, l in zip(keys, leaves)]
+    v_plain = jax.tree.unflatten(tree, leaves)
+
+    v_scan_t = scan.init(rng, x, train=False)
+    v_scan = {
+        "params": stack_for_scan(
+            jax.tree.map(np.asarray, v_plain["params"]),
+            v_scan_t["params"],
+        ),
+        "batch_stats": stack_for_scan(
+            jax.tree.map(np.asarray, v_plain["batch_stats"]),
+            v_scan_t["batch_stats"],
+        ),
+    }
+    out_plain = plain.apply(v_plain, x, train=False)
+    out_scan = scan.apply(v_scan, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_plain), atol=1e-5
+    )

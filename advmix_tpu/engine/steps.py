@@ -67,7 +67,13 @@ def _loss_fn_for(cfg) -> Callable:
 # Standard training step (lib/core/function.py:30-95)
 # ---------------------------------------------------------------------------
 
-def make_train_step(model, tx, cfg, mesh: Mesh, axis: str = "data"):
+def make_train_step(model, tx, cfg, mesh: Mesh, axis: str = "data",
+                    debug: bool = False):
+    """When `debug`, the step also returns the output heatmaps and decoded
+    peak coords (sharded), so the host can dump debug images every
+    PRINT_FREQ like the reference (`lib/core/function.py:92-95`)."""
+    from .heatmap_debug import debug_outputs
+
     loss_of = _loss_fn_for(cfg)
 
     def step(state, batch):
@@ -101,13 +107,16 @@ def make_train_step(model, tx, cfg, mesh: Mesh, axis: str = "data"):
             opt_state=new_opt,
             step=state.step + 1,
         )
+        if debug:
+            return new_state, metrics, debug_outputs(out)
         return new_state, metrics
 
+    out_specs = (P(), P(), P(axis)) if debug else (P(), P())
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(axis)),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=0)
@@ -128,7 +137,10 @@ def make_advmix_step(
     adv_loss_weight: float = 1.0,
     num_views: int = 3,
     axis: str = "data",
+    debug: bool = False,
 ):
+    from .heatmap_debug import debug_outputs
+
     loss_of = _loss_fn_for(cfg)
 
     def step(state, batch):
@@ -219,13 +231,18 @@ def make_advmix_step(
             opt_state_g=new_opt_g,
             step=state.step + 1,
         )
+        if debug:
+            dbg = debug_outputs(out_g)
+            dbg["mixed"] = mixed_sg  # the adversarial mix, for image dumps
+            return new_state, metrics, dbg
         return new_state, metrics
 
+    out_specs = (P(), P(), P(axis)) if debug else (P(), P())
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(axis)),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=0)
@@ -236,10 +253,13 @@ def make_advmix_step(
 # ---------------------------------------------------------------------------
 
 def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "data"):
+    from ..ops.heatmap import get_final_preds_softargmax
+
     loss_of = _loss_fn_for(cfg)
     flip_test = cfg.TEST.FLIP_TEST
     shift = cfg.TEST.SHIFT_HEATMAP
     post = cfg.TEST.POST_PROCESS
+    soft = cfg.TEST.SOFT_ARGMAX  # soft-argmax decode variant (:129-162)
     pairs = tuple(tuple(p) for p in flip_pairs)
 
     def step(params, batch_stats, batch):
@@ -255,9 +275,14 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
             out = (out + out_f) * 0.5
         loss = loss_of(out, batch["target"], batch["target_weight"])
         _, acc, cnt = pck_accuracy(out, batch["target"])
-        preds, maxvals = get_final_preds(
-            out, batch["center"], batch["scale"], post_process=post
-        )
+        if soft:
+            preds, maxvals = get_final_preds_softargmax(
+                out, batch["center"], batch["scale"], post_process=post
+            )
+        else:
+            preds, maxvals = get_final_preds(
+                out, batch["center"], batch["scale"], post_process=post
+            )
         metrics = {
             "loss": lax.pmean(loss, axis),
             "acc": lax.pmean(acc, axis),
@@ -394,3 +419,136 @@ def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_bottomup_advmix_step(
+    model_d,
+    model_g,
+    tx_d,
+    tx_g,
+    cfg,
+    mesh: Mesh,
+    alpha: float = 0.1,
+    adv_loss_weight: float = 1.0,
+    num_views: int = 3,
+    pull_factor: float = 0.001,
+    push_factor: float = 0.001,
+    axis: str = "data",
+):
+    """AdvMix min-max for the bottom-up family (BASELINE config #5:
+    HigherHRNet-W32 512x512 AdvMix). Same structure as the top-down
+    make_advmix_step — G mixes the 3 views, D updates on the stop-gradient
+    mix with a KD term against the frozen teacher, G updates adversarially
+    through the saved vjp — but D's loss is the bottom-up composite
+    (per-scale heatmap MSE + AE pull/push) and the KD term matches D's
+    multi-scale heatmaps to the teacher's."""
+    from ..ops.ae import ae_loss, bottomup_heatmap_loss, generate_bottomup_target
+
+    num_joints = cfg.MODEL.NUM_JOINTS
+    input_size = int(cfg.MODEL.IMAGE_SIZE[0])
+    sigma = float(cfg.MODEL.SIGMA)
+
+    def pose_loss(outs, joints, vis):
+        total = 0.0
+        pull = push = 0.0
+        for si, out in enumerate(outs):
+            ratio = out.shape[1] / input_size
+            tgt, locs = generate_bottomup_target(
+                joints * ratio, vis, (out.shape[2], out.shape[1]), sigma
+            )
+            total = total + bottomup_heatmap_loss(out[..., :num_joints], tgt)
+            if si == 0:
+                pull, push = ae_loss(out[..., num_joints:], locs, vis)
+        return total + pull_factor * pull + push_factor * push
+
+    def kd_loss(outs, teacher_outs):
+        total = 0.0
+        for out, tout in zip(outs, teacher_outs):
+            total = total + bottomup_heatmap_loss(
+                out[..., :num_joints], lax.stop_gradient(tout[..., :num_joints])
+            )
+        return total
+
+    def step(state, batch):
+        views = batch["views"]
+        clean = views[..., :3]
+        joints = batch["joints"]
+        vis = batch["joints_vis"]
+
+        def g_forward(pg):
+            logits = model_g.apply({"params": pg}, views)
+            w = jax.nn.softmax(logits, axis=-1)
+            mixed = jnp.zeros_like(clean)
+            for k in range(num_views):
+                mixed = mixed + views[..., 3 * k : 3 * k + 3] * w[..., k : k + 1]
+            return mixed
+
+        mixed, g_vjp = jax.vjp(g_forward, state.params_g)
+        mixed_sg = lax.stop_gradient(mixed)
+
+        teacher_outs = model_d.apply(
+            {"params": state.params_t, "batch_stats": state.batch_stats_t},
+            clean,
+            train=False,
+        )
+
+        def loss_d_fn(pd):
+            outs, mut = model_d.apply(
+                {"params": pd, "batch_stats": state.batch_stats_d},
+                mixed_sg, train=True, mutable=["batch_stats"],
+            )
+            loss = (
+                pose_loss(outs, joints, vis) * (1.0 - alpha)
+                + kd_loss(outs, teacher_outs) * alpha
+            )
+            return loss, mut["batch_stats"]
+
+        (loss_d, stats_after_d), grads_d = jax.value_and_grad(
+            loss_d_fn, has_aux=True
+        )(state.params_d)
+        grads_d = lax.pmean(grads_d, axis)
+        stats_after_d = lax.pmean(stats_after_d, axis)
+        upd_d, new_opt_d = tx_d.update(grads_d, state.opt_state_d, state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, upd_d)
+
+        def loss_g_fn(mixed_in):
+            outs, mut = model_d.apply(
+                {"params": new_params_d, "batch_stats": stats_after_d},
+                mixed_in, train=True, mutable=["batch_stats"],
+            )
+            loss = -pose_loss(outs, joints, vis) * adv_loss_weight
+            return loss, mut["batch_stats"]
+
+        (loss_g, stats_after_g), dmixed = jax.value_and_grad(
+            loss_g_fn, has_aux=True
+        )(mixed)
+        stats_after_g = lax.pmean(stats_after_g, axis)
+        (grads_g,) = g_vjp(dmixed)
+        grads_g = lax.pmean(grads_g, axis)
+        upd_g, new_opt_g = tx_g.update(grads_g, state.opt_state_g, state.params_g)
+        new_params_g = optax.apply_updates(state.params_g, upd_g)
+
+        metrics = {
+            "loss_d": lax.pmean(loss_d, axis),
+            "loss_g": lax.pmean(loss_g, axis),
+            "acc": lax.pmean(jnp.zeros(()), axis),
+            "acc_cnt": lax.psum(jnp.zeros((), jnp.int32), axis),
+        }
+        new_state = state.replace(
+            params_d=new_params_d,
+            batch_stats_d=stats_after_g,
+            opt_state_d=new_opt_d,
+            params_g=new_params_g,
+            opt_state_g=new_opt_g,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)

@@ -124,7 +124,12 @@ def train_epoch(
             mesh,
         )
         batch = prep_fn(raw["image"], raw["joints"], raw["joints_vis"], sub)
-        state, metrics = step_fn(state, batch)
+        result = step_fn(state, batch)
+        debug_out = None
+        if len(result) == 3:
+            state, metrics, debug_out = result
+        else:
+            state, metrics = result
 
         loss_key = "loss_d" if advmix else "loss"
         n = host_batch["_n"]
@@ -134,6 +139,11 @@ def train_epoch(
         end = time.time()
 
         if i % cfg.PRINT_FREQ == 0:
+            if debug_out is not None and cfg.DEBUG.DEBUG:
+                _dump_debug_images(
+                    cfg, host_batch, batch, debug_out, output_dir_of(cfg),
+                    epoch, i, advmix,
+                )
             msg = (
                 f"Epoch: [{epoch}][{i}/{len(loader)}]\t"
                 f"Time {batch_time.val:.3f}s ({batch_time.avg:.3f}s)\t"
@@ -310,3 +320,45 @@ def validate_bottomup(
     name_value = OrderedDict(zip(STATS_NAMES, [float(x) for x in stats]))
     print_name_value(logger, name_value, cfg.MODEL.NAME)
     return name_value, name_value["AP"]
+
+
+def output_dir_of(cfg):
+    """Derive the debug-dump dir the same way create_logger does."""
+    import os as _os
+
+    return _os.path.join(
+        cfg.OUTPUT_DIR or "output", cfg.DATASET.DATASET, cfg.MODEL.NAME,
+        "debug",
+    )
+
+
+def _dump_debug_images(cfg, host_batch, dev_batch, debug_out, out_dir,
+                       epoch, i, advmix):
+    """Per-PRINT_FREQ debug dumps (reference save_debug_images call sites,
+    lib/core/function.py:92-95 and :194-197)."""
+    import os as _os
+
+    from ..utils.vis import save_debug_images
+
+    _os.makedirs(out_dir, exist_ok=True)
+    prefix = _os.path.join(out_dir, f"train_{epoch}_{i}")
+    if advmix:
+        views = np.asarray(jax.device_get(dev_batch["views"]))
+        image_norm = views[..., :3]
+        mixed = np.asarray(jax.device_get(debug_out["mixed"]))
+    else:
+        image_norm = np.asarray(jax.device_get(dev_batch["image"]))
+        mixed = None
+    target = np.asarray(jax.device_get(dev_batch["target"]))
+    output = np.asarray(jax.device_get(debug_out["output"]))
+    pred = np.asarray(jax.device_get(debug_out["pred_coords"]))
+    stride = image_norm.shape[1] / output.shape[1]
+    save_debug_images(
+        cfg, image_norm, host_batch["joints"], host_batch["joints_vis"],
+        target, pred * stride, output, prefix,
+    )
+    if mixed is not None:
+        save_debug_images(
+            cfg, mixed, host_batch["joints"], host_batch["joints_vis"],
+            target, pred * stride, output, prefix + "_mixed",
+        )

@@ -43,8 +43,11 @@ def _scan_blocks(cls, planes, n, name, dtype):
             )(carry, train)
             return out, None
 
+    # remat: without it the scan stacks every iteration's activations for
+    # the backward pass (OOMs HRNet-W32 AdvMix at batch 32 on a 16GB chip,
+    # with up to 4x tile-padding expansion on the stacked temps)
     scanned = nn.scan(
-        Body,
+        nn.remat(Body, static_argnums=(2,)),
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast,),
@@ -71,7 +74,7 @@ def _scan_hr_modules(n, name, dtype, use_scan, **mod_kwargs):
             return tuple(out), None
 
     scanned = nn.scan(
-        Body,
+        nn.remat(Body, static_argnums=(2,)),
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast,),

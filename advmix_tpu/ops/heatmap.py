@@ -217,3 +217,51 @@ def pck_accuracy(output: jnp.ndarray, target: jnp.ndarray, thr: float = 0.5):
         cnt > 0, jnp.sum(jnp.where(per_joint >= 0, per_joint, 0.0)) / jnp.maximum(cnt, 1), 0.0
     )
     return per_joint, avg, cnt
+
+
+# ---------------------------------------------------------------------------
+# Soft-argmax decode (lib/core/inference.py:97-162)
+# ---------------------------------------------------------------------------
+
+def soft_argmax(heatmaps: jnp.ndarray, beta: float = 160.0):
+    """Differentiable soft-argmax decode on NHWC heatmaps (B, H, W, J).
+
+    Softmax(beta * heatmap) expectation over the coordinate grid, plus the
+    heatmap value at the rounded coordinate as the confidence — matching
+    `SoftArgmax2D` / `get_final_preds_using_softargmax`
+    (lib/core/inference.py:97-131, beta=160 at the call site).
+
+    Returns preds (B, J, 2) float32 and maxvals (B, J, 1).
+    """
+    b, h, w, j = heatmaps.shape
+    hm = heatmaps.transpose(0, 3, 1, 2)  # (B, J, H, W)
+    probs = jax.nn.softmax(hm.reshape(b, j, -1) * beta, axis=-1)
+    probs = probs.reshape(b, j, h, w)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    px = jnp.sum(probs * xs[None, None, None, :], axis=(2, 3))
+    py = jnp.sum(probs * ys[None, None, :, None], axis=(2, 3))
+    preds = jnp.stack([px, py], axis=-1)
+
+    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
+    flat = hm.reshape(b, j, h * w)
+    maxvals = jnp.take_along_axis(flat, (iy * w + ix)[..., None], axis=2)
+    return preds, maxvals
+
+
+def get_final_preds_softargmax(
+    heatmaps: jnp.ndarray,
+    center: jnp.ndarray,
+    scale: jnp.ndarray,
+    beta: float = 160.0,
+    post_process: bool = True,
+):
+    """Soft-argmax variant of get_final_preds
+    (lib/core/inference.py:129-162)."""
+    coords, maxvals = soft_argmax(heatmaps, beta)
+    if post_process:
+        coords = quarter_offset(heatmaps, coords)
+    h, w = heatmaps.shape[1], heatmaps.shape[2]
+    preds = transform_preds_jax(coords, center, scale, (w, h))
+    return preds, maxvals

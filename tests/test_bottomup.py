@@ -169,3 +169,48 @@ def test_bottomup_step_loss_decreases():
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
     assert np.isfinite(float(m["pull"])) and np.isfinite(float(m["push"]))
+
+
+def test_bottomup_advmix_step():
+    from advmix_tpu.config import load_config
+    from advmix_tpu.engine import optim, state as state_lib, steps
+    from advmix_tpu.models.unet import UnetGenerator
+    from advmix_tpu.parallel import get_mesh, device_put_batch
+    from advmix_tpu.parallel.mesh import replicate
+
+    cfg = load_config()
+    cfg.defrost()
+    cfg.MODEL.NUM_JOINTS = 4
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.freeze()
+    mesh = get_mesh(8)
+    model_d = HigherHRNet(num_joints=4, num_deconv_filters=(8,), **TINY_STAGES)
+    model_g = UnetGenerator(input_nc=9, output_nc=3, num_downs=4, ngf=8)
+    tx_d = optim.get_optimizer(cfg)
+    tx_g = optim.get_generator_optimizer(cfg)
+    st = state_lib.create_advmix_state(
+        model_d, model_g, tx_d, tx_g, jax.random.PRNGKey(0),
+        jnp.zeros((2, 64, 64, 3)),
+    )
+    st = replicate(st, mesh)
+    step = steps.make_bottomup_advmix_step(
+        model_d, model_g, tx_d, tx_g, cfg, mesh
+    )
+    rng = np.random.RandomState(0)
+    B, M, J = 8, 2, 4
+    batch = device_put_batch(
+        {
+            "views": jnp.asarray(rng.randn(B, 64, 64, 9).astype(np.float32)),
+            "joints": jnp.asarray(
+                rng.uniform(5, 59, (B, M, J, 2)).astype(np.float32)
+            ),
+            "joints_vis": jnp.ones((B, M, J), jnp.float32),
+        },
+        mesh,
+    )
+    losses = []
+    for _ in range(3):
+        st, m = step(st, batch)
+        losses.append(float(m["loss_d"]))
+    assert losses[-1] < losses[0], losses
+    assert float(m["loss_g"]) <= 0

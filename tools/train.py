@@ -91,6 +91,7 @@ def main(argv=None):
         step_fn = steps.make_advmix_step(
             model, model_g, tx, tx_g, cfg, mesh,
             alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
+            debug=cfg.DEBUG.DEBUG,
         )
     else:
         state = state_lib.create_pose_state(model, tx, rng, sample)
@@ -102,7 +103,8 @@ def main(argv=None):
                 params=loaded["params"], batch_stats=loaded["batch_stats"]
             )
             logger.info(f"=> loaded pretrained {cfg.MODEL.PRETRAINED}")
-        step_fn = steps.make_train_step(model, tx, cfg, mesh)
+        step_fn = steps.make_train_step(model, tx, cfg, mesh,
+                                        debug=cfg.DEBUG.DEBUG)
 
     var0 = {"params": state.params_d if advmix else state.params,
             "batch_stats": state.batch_stats_d if advmix else state.batch_stats}

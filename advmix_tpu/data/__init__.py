@@ -1,4 +1,5 @@
-from .datasets import COCODataset, MPIIDataset, SyntheticPoseDataset, build_dataset
+from .datasets import (COCODataset, MPIIDataset, SyntheticPoseDataset,
+                       ConcatDataset, build_dataset, build_stylized_dataset)
 from .loader import Loader
 
 __all__ = [
@@ -6,5 +7,7 @@ __all__ = [
     "MPIIDataset",
     "SyntheticPoseDataset",
     "build_dataset",
+    "ConcatDataset",
+    "build_stylized_dataset",
     "Loader",
 ]

@@ -315,3 +315,55 @@ def build_dataset(cfg, is_train: bool, image_set: Optional[str] = None):
     if name == "synthetic":
         return SyntheticPoseDataset(cfg, is_train)
     raise KeyError(f"unknown dataset '{name}'")
+
+
+class ConcatDataset(BaseJointsDataset):
+    """Concatenation of datasets sharing one sample schema.
+
+    Supports the reference's --stylize_image path (`tools/train.py:145-163`):
+    training on the union of the normal dataset and a stylized-image copy
+    whose records point into a 'stylize_image' root.
+    """
+
+    def __init__(self, datasets):
+        assert datasets, "need at least one dataset"
+        first = datasets[0]
+        self.datasets = list(datasets)
+        self.cfg = first.cfg
+        self.is_train = first.is_train
+        self.num_joints = first.num_joints
+        self.flip_pairs = first.flip_pairs
+        self.image_size = first.image_size
+        self.heatmap_size = first.heatmap_size
+        self.joints_weight = first.joints_weight
+        self._offsets = []
+        total = 0
+        for d in self.datasets:
+            self._offsets.append(total)
+            total += len(d)
+        self._total = total
+
+    def __len__(self):
+        return self._total
+
+    def get_sample(self, idx: int, rng: np.random.RandomState) -> dict:
+        for d, off in zip(reversed(self.datasets), reversed(self._offsets)):
+            if idx >= off:
+                return d.get_sample(idx - off, rng)
+        raise IndexError(idx)
+
+    def evaluate(self, *args, **kwargs):
+        return self.datasets[0].evaluate(*args, **kwargs)
+
+
+def build_stylized_dataset(cfg, is_train: bool):
+    """Clone of the train dataset whose image root points at the stylized
+    copy (`<root>/../stylize_image_<dataset>` convention)."""
+    styl_cfg = cfg.clone()
+    styl_cfg.defrost()
+    root = cfg.DATASET.ROOT.rstrip("/")
+    styl_cfg.DATASET.ROOT = os.path.join(
+        os.path.dirname(root), f"stylize_image_{cfg.DATASET.DATASET}"
+    )
+    styl_cfg.freeze()
+    return build_dataset(styl_cfg, is_train)

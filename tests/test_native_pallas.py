@@ -74,3 +74,24 @@ def test_pallas_oks_matrix_matches_jax():
     out = np.asarray(oks_matrix_pallas(k3, a, interpret=True))
     assert out.shape == (n, n)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_decode_matches_jax():
+    from advmix_tpu.ops.pallas.decode_kernel import decode_heatmaps_pallas
+    from advmix_tpu.ops.heatmap import get_max_preds, quarter_offset
+
+    rng = np.random.RandomState(6)
+    hm = rng.rand(3, 16, 12, 5).astype(np.float32)
+    hm[0, :, :, 0] = 0.0  # all-zero map -> coords masked to 0
+    hmj = jnp.asarray(hm)
+    coords, maxvals = decode_heatmaps_pallas(hmj, post_process=True,
+                                             interpret=True)
+    ref_c, ref_m = get_max_preds(hmj)
+    ref_c = quarter_offset(hmj, ref_c)
+    # reference zeroes coords for non-positive peaks before the offset;
+    # replicate that masking for comparison
+    ref_c = ref_c * (ref_m > 0)
+    np.testing.assert_allclose(np.asarray(coords), np.asarray(ref_c),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(maxvals), np.asarray(ref_m),
+                               atol=1e-6)

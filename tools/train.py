@@ -113,6 +113,13 @@ def main(argv=None):
 
     # datasets
     train_dataset = build_dataset(cfg, is_train=True)
+    if args.stylize_image:
+        # union with the stylized copy (reference tools/train.py:145-163)
+        from advmix_tpu.data.datasets import ConcatDataset, build_stylized_dataset
+
+        train_dataset = ConcatDataset(
+            [train_dataset, build_stylized_dataset(cfg, is_train=True)]
+        )
     # MINI_COCO debug mode validates on the train set (tools/train.py:127-134)
     valid_dataset = build_dataset(
         cfg,

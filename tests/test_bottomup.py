@@ -214,3 +214,67 @@ def test_bottomup_advmix_step():
         losses.append(float(m["loss_d"]))
     assert losses[-1] < losses[0], losses
     assert float(m["loss_g"]) <= 0
+
+
+def test_bottomup_validate_plumbing(tmp_path):
+    """Random-weights bottom-up model through the full validate path:
+    device forward + peaks -> host grouping -> back-projection -> COCO
+    results json -> AP. Checks plumbing, not accuracy."""
+    import json as jsonlib
+    import os
+
+    import cv2
+
+    from advmix_tpu.config import load_config
+    from advmix_tpu.data import build_dataset, Loader
+    from advmix_tpu.engine import steps, trainer as trainer_lib
+    from advmix_tpu.parallel import get_mesh
+    from advmix_tpu.parallel.mesh import replicate
+
+    # tiny generated coco tree
+    root = tmp_path / "coco"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val2017").mkdir()
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    for i in (1, 2):
+        img = np.full((240, 320, 3), 127, np.uint8)
+        kps = []
+        for j in range(17):
+            x, y = rng.uniform(60, 260), rng.uniform(60, 180)
+            kps += [float(x), float(y), 2]
+        anns.append(dict(id=i, image_id=i, category_id=1, keypoints=kps,
+                         num_keypoints=17,
+                         bbox=[50, 50, 220, 140], area=30800.0, iscrowd=0))
+        cv2.imwrite(str(root / "val2017" / ("%012d.jpg" % i)), img)
+        images.append(dict(id=i, width=320, height=240))
+    with open(root / "annotations" / "person_keypoints_val2017.json", "w") as f:
+        jsonlib.dump(dict(images=images, annotations=anns), f)
+
+    cfg = load_config()
+    cfg.defrost()
+    cfg.DATASET.DATASET = "bottomup_coco"
+    cfg.DATASET.ROOT = str(root)
+    cfg.DATASET.TEST_SET = "val2017"
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.MODEL.IMAGE_SIZE = [128, 128]
+    cfg.TEST.FLIP_TEST = True
+    cfg.freeze()
+
+    mesh = get_mesh(8)
+    ds = build_dataset(cfg, is_train=False)
+    assert len(ds) == 2
+    model = HigherHRNet(num_joints=17, num_deconv_filters=(8,), **TINY_STAGES)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                   train=False)
+    eval_step = steps.make_bottomup_eval_step(model, cfg, ds.flip_pairs, mesh)
+    loader = Loader(ds, 8, shuffle=False)
+    name_values, ap = trainer_lib.validate_bottomup(
+        cfg, eval_step, replicate(v["params"], mesh),
+        replicate(v.get("batch_stats", {}), mesh), ds, loader, mesh,
+        str(tmp_path),
+    )
+    assert np.isfinite(ap)
+    res = os.path.join(str(tmp_path), "results",
+                       "keypoints_val2017_results_bu.json")
+    assert os.path.exists(res)

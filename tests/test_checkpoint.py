@@ -1,0 +1,85 @@
+"""Checkpoint round-trips: save/restore/auto-resume, best tracking, final
+export, and the torch fine-tune load path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from advmix_tpu.config import load_config
+from advmix_tpu.engine import optim, state as state_lib
+from advmix_tpu.engine.checkpoint import (
+    CheckpointManager,
+    export_final_state,
+    load_torch_checkpoint,
+)
+from advmix_tpu.models.pose_resnet import PoseResNet
+
+
+def _state():
+    cfg = load_config()
+    model = PoseResNet(num_layers=18, num_joints=4,
+                       num_deconv_filters=(16, 16, 16))
+    tx = optim.get_optimizer(cfg)
+    st = state_lib.create_pose_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    return st
+
+
+def test_save_restore_roundtrip(tmp_path):
+    st = _state()
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(epoch=3, state=jax.device_get(st), perf=0.71, is_best=True)
+    mgr.save(epoch=4, state=jax.device_get(st), perf=0.65, is_best=False)
+
+    assert mgr.latest_epoch() == 4
+    restored = mgr.restore(item=st)
+    assert int(restored["epoch"]) == 4
+    assert float(restored["perf"]) == 0.65
+    for a, b in zip(jax.tree.leaves(restored["state"].params
+                                    if hasattr(restored["state"], "params")
+                                    else restored["state"]["params"]),
+                    jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_final_export(tmp_path):
+    st = _state()
+    path = export_final_state(str(tmp_path), jax.device_get(st.params))
+    import orbax.checkpoint as ocp
+
+    loaded = ocp.PyTreeCheckpointer().restore(path)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_finetune_load(tmp_path):
+    """The reference loads 'module.'-prefixed pose checkpoints with
+    shape-filtered intersection (tools/train.py:198-235)."""
+    import torch.nn as tnn
+
+    t = tnn.Sequential()
+    t.add_module("conv1", tnn.Conv2d(3, 64, 7, 2, 3, bias=False))
+    t.add_module("bn1", tnn.BatchNorm2d(64))
+    sd = {f"module.{k}": v for k, v in t.state_dict().items()}
+    # add a shape-mismatched entry that must be skipped
+    sd["module.final_layer.weight"] = torch.randn(99, 1, 1, 1)
+    pth = str(tmp_path / "ckpt.pth")
+    torch.save(sd, pth)
+
+    model = PoseResNet(num_layers=18, num_joints=4,
+                       num_deconv_filters=(16, 16, 16))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+    loaded = load_torch_checkpoint(pth, dict(v))
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["conv1"]["kernel"]),
+        t.conv1.weight.detach().numpy().transpose(2, 3, 1, 0),
+        atol=1e-6,
+    )
+    # untouched entries stay at init
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["final_layer"]["bias"]),
+        np.asarray(v["params"]["final_layer"]["bias"]),
+    )

@@ -362,3 +362,54 @@ def _dump_debug_images(cfg, host_batch, dev_batch, debug_out, out_dir,
             cfg, mixed, host_batch["joints"], host_batch["joints_vis"],
             target, pred * stride, output, prefix + "_mixed",
         )
+
+
+def make_bottomup_preprocessor(cfg, advmix: bool):
+    """Bottom-up batch prep: normalize (or synthesize the 3 views); targets
+    are generated inside the step at each output scale."""
+    mean, std = IMAGENET_MEAN_STD
+
+    @jax.jit
+    def prep(image_u8, joints, joints_vis, key):
+        img = image_u8.astype(jnp.float32)
+        if advmix:
+            views = make_advmix_views(img, key)
+            return {"views": views, "joints": joints,
+                    "joints_vis": joints_vis}
+        return {"image": (img - mean) / std, "joints": joints,
+                "joints_vis": joints_vis}
+
+    return prep
+
+
+def train_epoch_bottomup(cfg, step_fn, prep_fn, state, loader, mesh, epoch,
+                         key, advmix=False):
+    """Bottom-up epoch loop (joints stay multi-person; PCK not defined)."""
+    batch_time = AverageMeter()
+    losses = AverageMeter()
+    end = time.time()
+    for i, host_batch in enumerate(loader):
+        key, sub = jax.random.split(key)
+        raw = device_put_batch(
+            {
+                "image": host_batch["image"],
+                "joints": host_batch["joints"],
+                "joints_vis": host_batch["joints_vis"],
+            },
+            mesh,
+        )
+        batch = prep_fn(raw["image"], raw["joints"], raw["joints_vis"], sub)
+        state, metrics = step_fn(state, batch)
+        loss_key = "loss_d" if advmix else "loss"
+        n = host_batch["_n"]
+        losses.update(float(metrics[loss_key]), n)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if i % cfg.PRINT_FREQ == 0:
+            logger.info(
+                f"Epoch: [{epoch}][{i}/{len(loader)}]\t"
+                f"Time {batch_time.val:.3f}s ({batch_time.avg:.3f}s)\t"
+                f"Speed {n / max(batch_time.val, 1e-9):.1f} samples/s\t"
+                f"Loss {losses.val:.5f} ({losses.avg:.5f})"
+            )
+    return state, key

@@ -69,6 +69,7 @@ def main(argv=None):
 
     tx = optim.get_optimizer(cfg)
 
+    bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
     advmix = bool(args.advmix) and args.sample_times > 1
     if advmix:
         model_g = models.get_generator(args, dtype=dtype)
@@ -88,11 +89,17 @@ def main(argv=None):
                 batch_stats_t=jax.tree.map(np.copy, loaded["batch_stats"]),
             )
             logger.info(f"=> loaded D and teacher from {args.load_from_D}")
-        step_fn = steps.make_advmix_step(
-            model, model_g, tx, tx_g, cfg, mesh,
-            alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
-            debug=cfg.DEBUG.DEBUG,
-        )
+        if bottomup:
+            step_fn = steps.make_bottomup_advmix_step(
+                model, model_g, tx, tx_g, cfg, mesh,
+                alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
+            )
+        else:
+            step_fn = steps.make_advmix_step(
+                model, model_g, tx, tx_g, cfg, mesh,
+                alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
+                debug=cfg.DEBUG.DEBUG,
+            )
     else:
         state = state_lib.create_pose_state(model, tx, rng, sample)
         if cfg.MODEL.INIT_WEIGHTS and os.path.isfile(cfg.MODEL.PRETRAINED):
@@ -103,8 +110,11 @@ def main(argv=None):
                 params=loaded["params"], batch_stats=loaded["batch_stats"]
             )
             logger.info(f"=> loaded pretrained {cfg.MODEL.PRETRAINED}")
-        step_fn = steps.make_train_step(model, tx, cfg, mesh,
-                                        debug=cfg.DEBUG.DEBUG)
+        if bottomup:
+            step_fn = steps.make_bottomup_step(model, tx, cfg, mesh)
+        else:
+            step_fn = steps.make_train_step(model, tx, cfg, mesh,
+                                            debug=cfg.DEBUG.DEBUG)
 
     var0 = {"params": state.params_d if advmix else state.params,
             "batch_stats": state.batch_stats_d if advmix else state.batch_stats}
@@ -135,12 +145,21 @@ def main(argv=None):
         f"=> {len(train_dataset)} train / {len(valid_dataset)} val samples"
     )
 
-    prep_train = trainer_lib.make_preprocessor(
-        cfg, advmix=advmix, train=True,
-        random_corruption=args.random_corruption,
-    )
-    prep_eval = trainer_lib.make_eval_preprocessor(cfg)
-    eval_step = steps.make_eval_step(model, cfg, valid_dataset.flip_pairs, mesh)
+    if bottomup:
+        prep_train = trainer_lib.make_bottomup_preprocessor(cfg, advmix=advmix)
+        eval_step = steps.make_bottomup_eval_step(
+            model, cfg, valid_dataset.flip_pairs, mesh
+        )
+        prep_eval = None
+    else:
+        prep_train = trainer_lib.make_preprocessor(
+            cfg, advmix=advmix, train=True,
+            random_corruption=args.random_corruption,
+        )
+        prep_eval = trainer_lib.make_eval_preprocessor(cfg)
+        eval_step = steps.make_eval_step(
+            model, cfg, valid_dataset.flip_pairs, mesh
+        )
 
     ckpt = CheckpointManager(output_dir)
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
@@ -174,17 +193,29 @@ def main(argv=None):
         logger.info(f"=> epoch {epoch} lr {lr:.6g}")
 
         train_loader.set_epoch(epoch)
-        state, key = trainer_lib.train_epoch(
-            cfg, step_fn, prep_train, state, train_loader, mesh, epoch, key,
-            writer, writer_state, advmix=advmix,
-        )
+        if bottomup:
+            state, key = trainer_lib.train_epoch_bottomup(
+                cfg, step_fn, prep_train, state, train_loader, mesh, epoch,
+                key, advmix=advmix,
+            )
+        else:
+            state, key = trainer_lib.train_epoch(
+                cfg, step_fn, prep_train, state, train_loader, mesh, epoch,
+                key, writer, writer_state, advmix=advmix,
+            )
 
         params = state.params_d if advmix else state.params
         stats = state.batch_stats_d if advmix else state.batch_stats
-        name_values, perf = trainer_lib.validate(
-            cfg, eval_step, prep_eval, params, stats, valid_dataset,
-            valid_loader, mesh, output_dir, writer, writer_state,
-        )
+        if bottomup:
+            name_values, perf = trainer_lib.validate_bottomup(
+                cfg, eval_step, params, stats, valid_dataset, valid_loader,
+                mesh, output_dir,
+            )
+        else:
+            name_values, perf = trainer_lib.validate(
+                cfg, eval_step, prep_eval, params, stats, valid_dataset,
+                valid_loader, mesh, output_dir, writer, writer_state,
+            )
 
         is_best = perf > best_perf
         best_perf = max(perf, best_perf)

@@ -141,15 +141,29 @@ def main(argv=None):
             dataset, cfg.TEST.BATCH_SIZE_PER_GPU * mesh.devices.size,
             shuffle=False,
         )
-        prep = make_prep(corruption, severity0 + 1)
-        eval_step = steps.make_eval_step(model, cfg, dataset.flip_pairs, mesh)
+        bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
         cfg.defrost()
         cfg.TEST.TEST_ROBUST = True
         cfg.freeze()
-        name_values, perf = trainer_lib.validate(
-            cfg, eval_step, prep, params, stats, dataset, loader, mesh,
-            output_dir,
-        )
+        if bottomup:
+            # proper bottom-up sweep (the reference only had a vestigial
+            # cfg.model.type == 'BottomUp' branch, SURVEY §2 row 2)
+            eval_step = steps.make_bottomup_eval_step(
+                model, cfg, dataset.flip_pairs, mesh
+            )
+            name_values, perf = trainer_lib.validate_bottomup(
+                cfg, eval_step, params, stats, dataset, loader, mesh,
+                output_dir,
+            )
+        else:
+            prep = make_prep(corruption, severity0 + 1)
+            eval_step = steps.make_eval_step(
+                model, cfg, dataset.flip_pairs, mesh
+            )
+            name_values, perf = trainer_lib.validate(
+                cfg, eval_step, prep, params, stats, dataset, loader, mesh,
+                output_dir,
+            )
         with open(os.path.join(output_dir, "robust_C.val"), "a") as rec:
             rec.write(f"{corruption}_{severity0}:\t")
             for k, v in name_values.items():

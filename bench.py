@@ -19,7 +19,7 @@ implementation lands around ~350 img/s/chip. vs_baseline is reported
 against 3x that (1050 img/s/chip), i.e. vs_baseline >= 1.0 meets the north
 star.
 
-Env knobs: BENCH_BATCH (per-chip batch, default 32), BENCH_DTYPE
+Env knobs: BENCH_BATCH (per-chip batch, default 64 — measured +46% over 32), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 20).
 """
 
@@ -64,7 +64,7 @@ def main():
     from advmix_tpu.parallel.mesh import replicate
 
     n_dev = len(jax.devices())
-    per_chip = int(os.environ.get("BENCH_BATCH", "32"))
+    per_chip = int(os.environ.get("BENCH_BATCH", "64"))
     batch_size = per_chip * n_dev
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -114,16 +114,23 @@ def main():
         }
         return adv_step(st, batch)
 
+    def sync(st, metrics):
+        # block_until_ready can return early through the axon relay; a real
+        # device->host transfer of a final-state param cannot (it depends on
+        # the whole chained-update sequence).
+        jax.device_get(metrics)
+        jax.device_get(jax.tree.leaves(st.params_d)[0])
+
     key = jax.random.PRNGKey(1)
     # warmup / compile
     for i in range(3):
         st, metrics = full_step(st, raw, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics)
+    sync(st, metrics)
 
     t0 = time.perf_counter()
     for i in range(n_steps):
         st, metrics = full_step(st, raw, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics)
+    sync(st, metrics)
     dt = time.perf_counter() - t0
 
     img_s = batch_size * n_steps / dt

@@ -163,3 +163,66 @@ def test_multistep_lr():
     assert optim.multistep_lr(1e-3, [90, 120], 0.1, 0) == 1e-3
     assert optim.multistep_lr(1e-3, [90, 120], 0.1, 90) == 1e-4
     assert np.isclose(optim.multistep_lr(1e-3, [90, 120], 0.1, 130), 1e-5)
+
+
+def test_synthetic_learnability():
+    """End-to-end learning check: training on the marker-synthetic dataset
+    must raise train PCK well above chance within a few dozen steps."""
+    from advmix_tpu.data import SyntheticPoseDataset, Loader
+    from advmix_tpu.engine import trainer as trainer_lib
+
+    cfg = _cfg()
+    cfg.defrost()
+    cfg.DATASET.DATASET = "synthetic"
+    cfg.MODEL.NUM_JOINTS = 4
+    cfg.TRAIN.LR = 2e-3
+    cfg.PRINT_FREQ = 1000
+    # markers are asymmetric: random flips would swap joint labels while the
+    # marker colors stay put, making the task unlearnable by construction
+    cfg.DATASET.FLIP = False
+    cfg.DATASET.SCALE_FACTOR = 0.1
+    cfg.DATASET.ROT_FACTOR = 0
+    cfg.freeze()
+    mesh = get_mesh(8)
+    ds = SyntheticPoseDataset(cfg, is_train=True, length=32, num_joints=4)
+    model = PoseResNet(num_layers=18, num_joints=4,
+                       num_deconv_filters=(32, 32, 32))
+    tx = optim.get_optimizer(cfg)
+    st = state_lib.create_pose_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3))
+    )
+    # The reference's normal(0.001) init assumes pretrained trunks and is
+    # pathological from scratch; He-reinit the conv kernels for this
+    # from-scratch learnability check (the library keeps the faithful init).
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(st.params)
+    key = jax.random.PRNGKey(42)
+    for path, leaf in flat.items():
+        if path[-1] == "kernel" and leaf.ndim == 4:
+            key, sub = jax.random.split(key)
+            fan_in = leaf.shape[0] * leaf.shape[1] * leaf.shape[2]
+            flat[path] = jax.random.normal(sub, leaf.shape) * np.sqrt(
+                2.0 / fan_in
+            )
+    st = st.replace(params=flax.traverse_util.unflatten_dict(flat))
+    st = replicate(st, mesh)
+    step = steps.make_train_step(model, tx, cfg, mesh)
+    prep = trainer_lib.make_preprocessor(cfg, advmix=False, train=True)
+    loader = Loader(ds, 32, shuffle=True, drop_last=True, num_threads=1)
+
+    from advmix_tpu.parallel import device_put_batch
+
+    accs = []
+    key = jax.random.PRNGKey(0)
+    for epoch in range(40):
+        loader.set_epoch(epoch)
+        for hb in loader:
+            key, sub = jax.random.split(key)
+            raw = device_put_batch(
+                {"image": hb["image"], "joints": hb["joints"],
+                 "joints_vis": hb["joints_vis"]}, mesh)
+            batch = prep(raw["image"], raw["joints"], raw["joints_vis"], sub)
+            st, m = step(st, batch)
+        accs.append(float(m["acc"]))
+    assert max(accs[-5:]) > 0.5, accs

@@ -381,3 +381,91 @@ def build_stylized_dataset(cfg, is_train: bool):
     )
     styl_cfg.freeze()
     return build_dataset(styl_cfg, is_train)
+
+
+def _compose_mirror(trans: np.ndarray, width: int) -> np.ndarray:
+    """Fold a horizontal flip of the SOURCE image into a 2x3 affine:
+    result maps original coords the way `trans` maps flipped coords
+    (x_flipped = width - 1 - x)."""
+    mirror = np.array([[-1.0, 0.0, width - 1.0], [0.0, 1.0, 0.0]])
+    m3 = np.vstack([mirror, [0.0, 0.0, 1.0]])
+    return trans @ m3
+
+
+class DeviceWarpMixin:
+    """Alternate sample path for the on-device warp pipeline.
+
+    `get_sample` (the default path) reproduces the reference bit-for-bit
+    with a host cv2.warpAffine per sample. `get_raw_sample` instead returns
+    the decoded image padded into a static bucket plus the 2x3 crop matrix
+    (flip folded in), so the bilinear warp runs batched on the TPU
+    (ops/transforms.warp_affine) — the host does only JPEG decode and a few
+    FLOPs of matrix math. Consumes the SAME rng stream as get_sample, so
+    both paths produce identical geometry for a given seed.
+    """
+
+    def get_raw_sample(self, idx: int, rng: np.random.RandomState,
+                       bucket_hw=(512, 768)) -> dict:
+        rec = self.records[idx]
+        img = self._read_image(rec["image"])
+        joints = rec["joints_3d"].copy()
+        joints_vis = rec["joints_3d_vis"].copy()
+        c = np.asarray(rec["center"], np.float32).copy()
+        s = np.asarray(rec["scale"], np.float32).copy()
+        score = rec.get("score", 1.0)
+        r = 0.0
+        flipped = False
+        w_img = img.shape[1]
+
+        if self.is_train:
+            if (
+                np.sum(joints_vis[:, 0]) > self.num_joints_half_body
+                and rng.rand() < self.prob_half_body
+            ):
+                c_hb, s_hb = self.half_body_transform(joints, joints_vis, rng)
+                if c_hb is not None:
+                    c, s = c_hb, s_hb
+            sf, rf = self.scale_factor, self.rotation_factor
+            s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+            r = (
+                float(np.clip(rng.randn() * rf, -rf * 2, rf * 2))
+                if rng.rand() <= 0.6
+                else 0.0
+            )
+            if self.flip and rng.rand() <= 0.5:
+                flipped = True
+                joints, joints_vis = fliplr_joints(
+                    joints, joints_vis, w_img, self.flip_pairs
+                )
+                c[0] = w_img - c[0] - 1
+
+        trans = get_affine_transform(c, s, r, self.image_size)
+        full = trans
+        if flipped:
+            full = _compose_mirror(trans, w_img)
+
+        for j in range(self.num_joints):
+            if joints_vis[j, 0] > 0.0:
+                joints[j, 0:2] = affine_transform(joints[j, 0:2], trans)
+
+        bh, bw = bucket_hw
+        padded = np.zeros((bh, bw, 3), np.uint8)
+        h0, w0 = min(img.shape[0], bh), min(img.shape[1], bw)
+        padded[:h0, :w0] = img[:h0, :w0]
+
+        return dict(
+            image=padded,
+            warp_matrix=full.astype(np.float32),
+            joints=joints[:, :2].astype(np.float32),
+            joints_vis=joints_vis[:, 0].astype(np.float32),
+            center=c,
+            scale=s,
+            rotation=np.float32(r),
+            score=np.float32(score),
+            image_path=rec["image"],
+            instance_index=rec.get("instance_index", ""),
+        )
+
+
+# mix DeviceWarpMixin into the base so every top-down dataset gets the path
+BaseJointsDataset.get_raw_sample = DeviceWarpMixin.get_raw_sample

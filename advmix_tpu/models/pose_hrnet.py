@@ -43,11 +43,12 @@ def _scan_blocks(cls, planes, n, name, dtype):
             )(carry, train)
             return out, None
 
-    # remat: without it the scan stacks every iteration's activations for
-    # the backward pass (OOMs HRNet-W32 AdvMix at batch 32 on a 16GB chip,
-    # with up to 4x tile-padding expansion on the stacked temps)
+    # No remat at the block level: the module-level scan (below) already
+    # remats whole modules, and nesting remat would recompute the forward
+    # twice during backward. Block scans outside a module scan (stage4's
+    # final module) stack only n~4 block activations — cheap.
     scanned = nn.scan(
-        nn.remat(Body, static_argnums=(2,)),
+        Body,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast,),

@@ -228,3 +228,41 @@ def test_coco_train_sampling(coco_root):
     batches = list(loader)
     assert batches[0]["image"].shape == (5, 64, 64, 3)
     assert batches[-1]["_n"] == len(ds) % 5 or batches[-1]["_n"] == 5
+
+
+def test_device_warp_matches_cv2_path(coco_root):
+    """get_raw_sample + on-device warp must produce the same geometry and
+    (within cv2's fixed-point bilinear tolerance) the same pixels as the
+    host cv2 path, for the same rng seed."""
+    import jax.numpy as jnp
+
+    from advmix_tpu.ops.transforms import warp_affine
+
+    cfg = _coco_cfg(coco_root)
+    cfg.defrost()
+    cfg.DATASET.TRAIN_SET = "val2017"
+    cfg.DATASET.FLIP = True
+    cfg.DATASET.PROB_HALF_BODY = 0.3
+    cfg.freeze()
+    ds = build_dataset(cfg, is_train=True)
+    w, h = cfg.MODEL.IMAGE_SIZE
+
+    for idx in range(4):
+        for seed in (0, 1):
+            host = ds.get_sample(idx, np.random.RandomState(seed))
+            raw = ds.get_raw_sample(idx, np.random.RandomState(seed),
+                                    bucket_hw=(480, 640))
+            # identical geometry (same rng stream)
+            np.testing.assert_allclose(raw["joints"], host["joints"],
+                                       atol=1e-3)
+            np.testing.assert_allclose(raw["center"], host["center"])
+            crop = np.asarray(
+                warp_affine(
+                    jnp.asarray(raw["image"][None].astype(np.float32)),
+                    jnp.asarray(raw["warp_matrix"][None]),
+                    (w, h),
+                )
+            )[0]
+            diff = np.abs(crop - host["image"].astype(np.float32))
+            assert np.median(diff) <= 1.0, (idx, seed, np.median(diff))
+            assert np.percentile(diff, 99) < 16.0, (idx, seed)

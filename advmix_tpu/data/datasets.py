@@ -306,8 +306,8 @@ class SyntheticPoseDataset(BaseJointsDataset):
                 int(255 * ((j * 53) % 5) / 4),
                 int(255 * ((j * 11) % 3) / 2),
             )
-            cv2.circle(img, (x, y), 6, color, -1)
-            cv2.circle(img, (x, y), 2, (255, 255, 255), -1)
+            cv2.circle(img, (x, y), 12, color, -1)
+            cv2.circle(img, (x, y), 5, (255, 255, 255), -1)
         return img
 
     def evaluate(self, cfg, preds, output_dir, all_boxes=None, img_path=None,

@@ -43,12 +43,13 @@ def _scan_blocks(cls, planes, n, name, dtype):
             )(carry, train)
             return out, None
 
-    # No remat at the block level: the module-level scan (below) already
-    # remats whole modules, and nesting remat would recompute the forward
-    # twice during backward. Block scans outside a module scan (stage4's
-    # final module) stack only n~4 block activations — cheap.
+    # remat here as well as at the module level: measured on v5e, the
+    # nested-remat recompute (275 img/s on the AdvMix-W32 bench) beats
+    # storing the block-scan activation stacks (217 img/s) — the stacked
+    # tensors carry up to 4x tile-padding and their HBM traffic costs more
+    # than recomputing the block forwards.
     scanned = nn.scan(
-        Body,
+        nn.remat(Body, static_argnums=(2,)),
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast,),

@@ -19,7 +19,7 @@ implementation lands around ~350 img/s/chip. vs_baseline is reported
 against 3x that (1050 img/s/chip), i.e. vs_baseline >= 1.0 meets the north
 star.
 
-Env knobs: BENCH_BATCH (per-chip batch, default 64 — measured +46% over 32), BENCH_DTYPE
+Env knobs: BENCH_BATCH (per-chip batch, default 128; measured 188, 275, 417 img/s at 32, 64, 128), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 20).
 """
 
@@ -64,7 +64,7 @@ def main():
     from advmix_tpu.parallel.mesh import replicate
 
     n_dev = len(jax.devices())
-    per_chip = int(os.environ.get("BENCH_BATCH", "64"))
+    per_chip = int(os.environ.get("BENCH_BATCH", "128"))
     batch_size = per_chip * n_dev
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32

@@ -177,7 +177,14 @@ class COCODataset(BaseJointsDataset):
         self.ann_file = os.path.join(
             root, "annotations", f"{prefix}_{self.image_set}.json"
         )
-        image_dir = os.path.join(root, self.image_set)
+        # zip archives use <set>.zip@<member> paths (lib/dataset/coco.py:235)
+        dir_name = (
+            self.image_set + ".zip@" if cfg.DATASET.DATA_FORMAT == "zip"
+            else self.image_set
+        )
+        image_dir = os.path.join(root, dir_name)
+        # COCO2014 sets carry a COCO_<set>_ filename prefix (coco.py:230-231)
+        prefix = f"COCO_{self.image_set}_" if "2014" in self.image_set else ""
         corruption = (
             cfg.TEST.CORRUPTION_TYPE
             if (cfg.TEST.TEST_ROBUST and not is_train)
@@ -196,6 +203,7 @@ class COCODataset(BaseJointsDataset):
                 corruption_type=corruption,
                 severity=cfg.TEST.SEVERITY,
                 root_c=cfg.DATASET.ROOT_C,
+                filename_prefix=prefix,
             )
         else:
             self.records = records_lib.load_coco_det_records(
@@ -208,6 +216,7 @@ class COCODataset(BaseJointsDataset):
                 corruption_type=corruption,
                 severity=cfg.TEST.SEVERITY,
                 root_c=cfg.DATASET.ROOT_C,
+                filename_prefix=prefix,
             )
         if is_train and cfg.DATASET.SELECT_DATA:
             self.records = records_lib.select_data(self.records)
@@ -244,6 +253,10 @@ class MPIIDataset(BaseJointsDataset):
             corruption_type=corruption,
             severity=cfg.TEST.SEVERITY,
             root_c=cfg.DATASET.ROOT_C,
+            # zip archives: images.zip@<member> (lib/dataset/mpii.py:92)
+            image_dir_name=(
+                "images.zip@" if cfg.DATASET.DATA_FORMAT == "zip" else "images"
+            ),
         )
         if is_train and cfg.DATASET.SELECT_DATA:
             self.records = records_lib.select_data(self.records)

@@ -50,6 +50,7 @@ def load_coco_gt_records(
     corruption_type: str = "",
     severity: int = 0,
     root_c: str = "",
+    filename_prefix: str = "",
 ) -> List[dict]:
     """Ground-truth COCO keypoint records (no pycocotools dependency)."""
     with open(ann_file) as f:
@@ -73,7 +74,9 @@ def load_coco_gt_records(
     for img_id in image_ids:
         im = images[img_id]
         width, height = im["width"], im["height"]
-        file_name = "%012d.jpg" % img_id
+        # COCO2014 sets prefix filenames (e.g. COCO_val2014_%012d.jpg,
+        # lib/dataset/coco.py:230-231)
+        file_name = filename_prefix + "%012d.jpg" % img_id
         if corruption_type and corruption_type != "clean":
             path = os.path.join(
                 root_c, _corruption_subpath(file_name, corruption_type, severity)
@@ -131,6 +134,7 @@ def load_coco_det_records(
     corruption_type: str = "",
     severity: int = 0,
     root_c: str = "",
+    filename_prefix: str = "",
 ) -> List[dict]:
     """Detected-person-box records (`lib/dataset/coco.py:249-293`)."""
     with open(bbox_file) as f:
@@ -146,7 +150,7 @@ def load_coco_det_records(
         if score < image_thre:
             continue
         img_id = det["image_id"]
-        file_name = "%012d.jpg" % img_id
+        file_name = filename_prefix + "%012d.jpg" % img_id
         if corruption_type and corruption_type != "clean":
             path = os.path.join(
                 root_c, _corruption_subpath(file_name, corruption_type, severity)
@@ -178,6 +182,7 @@ def load_mpii_records(
     corruption_type: str = "",
     severity: int = 0,
     root_c: str = "",
+    image_dir_name: str = "images",
 ) -> List[dict]:
     """MPII records from annot/<set>.json (`lib/dataset/mpii.py:50-112`)."""
     ann_file = os.path.join(root, "annot", image_set + ".json")
@@ -192,7 +197,7 @@ def load_mpii_records(
                 root_c, _corruption_subpath(image_name, corruption_type, severity)
             )
         else:
-            path = os.path.join(root, "images", image_name)
+            path = os.path.join(root, image_dir_name, image_name)
 
         c = np.array(a["center"], dtype=np.float64)
         s = np.array([a["scale"], a["scale"]], dtype=np.float64)

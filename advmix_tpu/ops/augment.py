@@ -53,27 +53,36 @@ def posterize(img: jnp.ndarray, bits) -> jnp.ndarray:
     return jnp.floor(img / shift) * shift
 
 
-def equalize(img: jnp.ndarray) -> jnp.ndarray:
+def equalize(img: jnp.ndarray, hist_stride: int = 1,
+             chunk: int = 32) -> jnp.ndarray:
     """PIL ImageOps.equalize, batched.
 
     PIL builds a per-channel LUT: step = (npixels - hist[last_nonzero]) // 255;
     lut[i] = (cumsum_before(i) + step // 2) // step.
 
     TPU formulation: per-pixel scatter (histogram) and gather (LUT apply)
-    are serial on TPU (~75ms/stage at batch 32x256x192 — measured half the
-    AdvMix step); both are instead expressed as one-hot matmuls on the MXU,
-    chunked with lax.map so the one-hot never exceeds ~25MB. bf16 one-hot
-    and LUT values (integers <= 255) are exact; accumulation is f32.
+    are serial on TPU (~40ms each per stage at batch 32x256x192 — measured
+    half the AdvMix step); both are instead expressed as one-hot matmuls on
+    the MXU, chunked with lax.map. bf16 one-hot and LUT values (integers
+    <= 255) are exact; accumulation is f32.
+
+    hist_stride > 1 builds the LUT from a spatially-subsampled histogram —
+    statistically indistinguishable for augmentation (the training path
+    uses 2) but not PIL-bit-exact; keep 1 where exactness matters.
     """
     b, h, w, c = img.shape
-    n = float(h * w)
     q = jnp.clip(jnp.floor(img), 0, 255).astype(jnp.int32)  # (B,H,W,C)
+    qs = q[:, ::hist_stride, ::hist_stride, :]
+    n = float(qs.shape[1] * qs.shape[2])
     flat = q.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    flat_s = qs.transpose(0, 3, 1, 2).reshape(b * c, -1)
     idx = jnp.arange(256)
 
-    def body(q_row):  # (HW,) int32 -> (HW,) mapped float32
-        oh = jax.nn.one_hot(q_row, 256, dtype=jnp.bfloat16)  # (HW, 256)
-        hist = jnp.sum(oh.astype(jnp.float32), axis=0)  # (256,)
+    def body(args):
+        # written per-row; lax.map's batch_size vmaps it over the chunk
+        q_row, qs_row = args  # (HW,), (HWs,)
+        oh_s = jax.nn.one_hot(qs_row, 256, dtype=jnp.bfloat16)
+        hist = jnp.sum(oh_s.astype(jnp.float32), axis=0)  # (256,)
 
         last_nz = jnp.argmax(jnp.where(hist > 0, idx, -1))
         hist_last = hist[last_nz]
@@ -87,6 +96,7 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
         # identity where step == 0 (PIL keeps the channel unchanged)
         lut = jnp.where(step > 0, lut, idx.astype(jnp.float32))
 
+        oh = jax.nn.one_hot(q_row, 256, dtype=jnp.bfloat16)
         mapped = jax.lax.dot_general(
             oh,
             lut.astype(jnp.bfloat16)[:, None],
@@ -95,7 +105,7 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
         )[:, 0]
         return mapped
 
-    mapped = jax.lax.map(body, flat, batch_size=8)
+    mapped = jax.lax.map(body, (flat, flat_s), batch_size=chunk)
     return mapped.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
@@ -156,11 +166,13 @@ _RANGES = {
 }
 
 
-def _apply_op(img, op: str, magnitude: float, sign: jnp.ndarray):
+def _apply_op(img, op: str, magnitude: float, sign: jnp.ndarray,
+              fast: bool = False):
     if op == "identity":
         return img
     if op == "equalize":
-        return equalize(img)
+        # training path: subsampled histogram (statistically equivalent)
+        return equalize(img, hist_stride=2 if fast else 1)
     if op == "invert":
         return invert(img)
     if op == "posterize":
@@ -214,7 +226,7 @@ def autoaugment(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     for stage, coin in ((0, u1), (1, u2)):
         variants, pol_to_variant = _stage_variants(stage)
         bank = jnp.stack(
-            [_apply_op(out, op, mag, sign) for op, mag in variants]
+            [_apply_op(out, op, mag, sign, fast=True) for op, mag in variants]
         )  # (V, B, H, W, 3)
         vidx = jnp.asarray(pol_to_variant)[pol_idx]  # (B,)
         apply_p = jnp.asarray(probs[:, stage])[pol_idx]  # (B,)

@@ -88,8 +88,15 @@ def make_res_layer(
     in_features: int,
     prefix: str,
     dtype,
+    use_scan: bool = False,
 ):
-    """Build the list of block modules for one ResNet stage."""
+    """Build the callables for one ResNet stage.
+
+    With use_scan, the identical tail blocks (everything after the first,
+    possibly-downsampling block) run as one remat'd lax.scan body — the
+    same compile-time/HBM treatment as scanned HRNet (pose_hrnet.py);
+    essential for ResNet-101/152 whose unrolled backward graphs are
+    compile-prohibitive on the axon TPU toolchain."""
     expansion = 4 if block_kind == "bottleneck" else 1
     cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
     mods = []
@@ -104,11 +111,17 @@ def make_res_layer(
             name=f"{prefix}_0",
         )
     )
-    for i in range(1, blocks):
-        mods.append(
-            cls(planes=planes, prefix=f"{prefix}_{i}_", dtype=dtype,
-                name=f"{prefix}_{i}")
-        )
+    if use_scan and blocks > 2:
+        from .pose_hrnet import _scan_blocks
+
+        mods.append(_scan_blocks(cls, planes, blocks - 1,
+                                 f"{prefix}_scan", dtype))
+    else:
+        for i in range(1, blocks):
+            mods.append(
+                cls(planes=planes, prefix=f"{prefix}_{i}_", dtype=dtype,
+                    name=f"{prefix}_{i}")
+            )
     return mods, planes * expansion
 
 
@@ -127,6 +140,7 @@ class PoseResNet(nn.Module):
     final_conv_kernel: int = 1
     deconv_with_bias: bool = False
     dtype: Any = jnp.float32
+    use_scan: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -143,7 +157,7 @@ class PoseResNet(nn.Module):
         ):
             mods, in_feat = make_res_layer(
                 block_kind, planes, blocks, stride, in_feat, f"layer{li}",
-                self.dtype,
+                self.dtype, use_scan=self.use_scan,
             )
             for m in mods:
                 x = m(x, train)
@@ -191,4 +205,5 @@ def get_pose_net(cfg, dtype=jnp.float32) -> PoseResNet:
         final_conv_kernel=extra.FINAL_CONV_KERNEL,
         deconv_with_bias=extra.DECONV_WITH_BIAS,
         dtype=dtype,
+        use_scan=bool(extra.get("USE_SCAN", False)),
     )

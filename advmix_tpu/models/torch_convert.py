@@ -161,20 +161,23 @@ def stack_for_scan(unscanned: dict, scanned_template: dict) -> dict:
         branch_prefix = None
         while i < len(path):
             p = path[i]
-            if (p.endswith("_scan") and p.startswith("stage")
-                    and "_branches_" not in p):
+            # classify a *_scan container by its child: "mod" = a scanned
+            # HighResolutionModule stage, "block" = scanned residual blocks
+            # (HRNet branches AND ResNet layer tails, e.g. layer3_scan)
+            if (p.endswith("_scan") and i + 1 < len(path)
+                    and path[i + 1] == "mod"):
                 stage_prefix = p[: -len("_scan")] + f"_{stage_m}"
-                # skip following "mod" container
-                assert path[i + 1] == "mod"
                 out.append(stage_prefix)
                 i += 2
                 continue
-            if p.endswith("_scan") and "_branches_" in p:
-                # e.g. mod_branches_0_scan -> <stage>_branches_0_<b>
+            if (p.endswith("_scan") and i + 1 < len(path)
+                    and path[i + 1] == "block"):
                 base = p[: -len("_scan")]
                 base = base.replace("mod", stage_prefix, 1) if base.startswith("mod") else base
-                branch_prefix = base + f"_{block_b}"
-                assert path[i + 1] == "block"
+                # ResNet tails start at block index 1 (block 0 downsamples
+                # and stays unscanned); HRNet branch scans start at 0
+                start = 1 if not ("_branches_" in p or p.startswith("mod")) else 0
+                branch_prefix = base + f"_{block_b + start}"
                 out.append(branch_prefix)
                 i += 2
                 continue
@@ -193,12 +196,12 @@ def stack_for_scan(unscanned: dict, scanned_template: dict) -> dict:
     new_flat = {}
     for path, tmpl in _flatten(scanned_template).items():
         has_stage_scan = any(
-            p.endswith("_scan") and p.startswith("stage")
-            and "_branches_" not in p
-            for p in path
+            p.endswith("_scan") and i + 1 < len(path) and path[i + 1] == "mod"
+            for i, p in enumerate(path)
         )
         has_block_scan = any(
-            p.endswith("_scan") and "_branches_" in p for p in path
+            p.endswith("_scan") and i + 1 < len(path) and path[i + 1] == "block"
+            for i, p in enumerate(path)
         )
         if not has_stage_scan and not has_block_scan:
             new_flat[path] = flat_un[path]

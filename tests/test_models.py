@@ -305,3 +305,34 @@ def test_scan_equivalence():
     np.testing.assert_allclose(
         np.asarray(out_scan), np.asarray(out_plain), atol=1e-5
     )
+
+
+def test_resnet_scan_equivalence():
+    """Scanned PoseResNet == unscanned after stack_for_scan restacking."""
+    plain = PoseResNet(num_layers=50, num_joints=4,
+                       num_deconv_filters=(16, 16, 16), use_scan=False)
+    scan = PoseResNet(num_layers=50, num_joints=4,
+                      num_deconv_filters=(16, 16, 16), use_scan=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    v_plain = plain.init(rng, x, train=False)
+    leaves, tree = jax.tree.flatten(v_plain)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    v_plain = jax.tree.unflatten(
+        tree, [jax.random.normal(k, l.shape) * 0.05 + l
+               for k, l in zip(keys, leaves)]
+    )
+    v_scan_t = scan.init(rng, x, train=False)
+    v_scan = {
+        "params": TC.stack_for_scan(
+            jax.tree.map(np.asarray, v_plain["params"]), v_scan_t["params"]
+        ),
+        "batch_stats": TC.stack_for_scan(
+            jax.tree.map(np.asarray, v_plain["batch_stats"]),
+            v_scan_t["batch_stats"],
+        ),
+    }
+    out_plain = plain.apply(v_plain, x, train=False)
+    out_scan = scan.apply(v_scan, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_plain),
+                               atol=1e-5)

@@ -252,6 +252,8 @@ def validate_bottomup(
     output_dir: str,
     detection_thresh: float = 0.1,
     tag_thresh: float = 1.0,
+    corruption: str = "",
+    severity: int = 0,
 ):
     """Bottom-up validation: device forward + peak extraction, host AE
     grouping, inverse-affine back-projection, COCO-format results + OKS AP.
@@ -270,7 +272,11 @@ def validate_bottomup(
 
     @jax.jit
     def prep(image_u8):
-        return (image_u8.astype(jnp.float32) - mean) / std
+        img = image_u8.astype(jnp.float32)
+        if corruption and corruption != "clean":
+            # on-the-fly device synthesis (mirrors the top-down sweep path)
+            img = corrupt(img, corruption, severity, jax.random.PRNGKey(1))
+        return (img - mean) / std
 
     results = []
     for host_batch in loader:

@@ -154,6 +154,8 @@ def main(argv=None):
             name_values, perf = trainer_lib.validate_bottomup(
                 cfg, eval_step, params, stats, dataset, loader, mesh,
                 output_dir,
+                corruption=corruption if extra_args.on_the_fly else "",
+                severity=severity0 + 1,
             )
         else:
             prep = make_prep(corruption, severity0 + 1)

@@ -89,6 +89,23 @@ def main(argv=None):
                 batch_stats_t=jax.tree.map(np.copy, loaded["batch_stats"]),
             )
             logger.info(f"=> loaded D and teacher from {args.load_from_D}")
+        if args.load_from_G:
+            # native (orbax) G checkpoints only: the torch UnetGenerator's
+            # recursive module names don't map onto our flattened encoder/
+            # decoder naming (models/unet.py)
+            if args.load_from_G.endswith(".pth"):
+                logger.warning(
+                    "=> torch generator checkpoints are not importable "
+                    "(recursive module naming); ignoring --load_from_G"
+                )
+            else:
+                import orbax.checkpoint as ocp
+
+                g_params = ocp.PyTreeCheckpointer().restore(
+                    os.path.abspath(args.load_from_G)
+                )
+                state = state.replace(params_g=g_params)
+                logger.info(f"=> loaded G from {args.load_from_G}")
         if bottomup:
             step_fn = steps.make_bottomup_advmix_step(
                 model, model_g, tx, tx_g, cfg, mesh,

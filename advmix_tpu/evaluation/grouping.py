@@ -16,6 +16,10 @@ from __future__ import annotations
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
+# HigherHRNet's COCO-17 processing order: stable joints (nose, eyes, ears,
+# shoulders, hips) seed person groups before the noisier limb extremities.
+COCO_JOINT_ORDER = [0, 1, 2, 3, 4, 5, 6, 11, 12, 7, 8, 9, 10, 13, 14, 15, 16]
+
 
 def group_peaks(
     peaks: dict,  # numpy arrays (J, k): x, y, val, tag  (single image)
@@ -27,7 +31,9 @@ def group_peaks(
     """Returns (P, J, 4) arrays [x, y, val, tag] for P grouped people."""
     num_joints, k = peaks["val"].shape
     if joint_order is None:
-        joint_order = list(range(num_joints))
+        joint_order = (
+            COCO_JOINT_ORDER if num_joints == 17 else list(range(num_joints))
+        )
 
     groups = []  # each: dict(joints=(J,4) array, tags=list of tag values)
 

@@ -278,3 +278,43 @@ def test_bottomup_validate_plumbing(tmp_path):
     res = os.path.join(str(tmp_path), "results",
                        "keypoints_val2017_results_bu.json")
     assert os.path.exists(res)
+
+
+def test_ochuman_dataset_alias(tmp_path):
+    """'ochuman' resolves to the bottom-up COCO-format loader."""
+    import json as jsonlib
+    import os
+    import cv2
+
+    from advmix_tpu.config import load_config
+    from advmix_tpu.data import build_dataset
+
+    root = tmp_path / "ochuman"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val2017").mkdir()
+    img = np.full((120, 160, 3), 127, np.uint8)
+    cv2.imwrite(str(root / "val2017" / ("%012d.jpg" % 1)), img)
+    kps = []
+    rng = np.random.RandomState(0)
+    for j in range(17):
+        kps += [float(rng.uniform(20, 140)), float(rng.uniform(20, 100)), 2]
+    jsonlib.dump(
+        dict(images=[dict(id=1, width=160, height=120)],
+             annotations=[dict(id=1, image_id=1, category_id=1,
+                               keypoints=kps, num_keypoints=17,
+                               bbox=[10, 10, 140, 100], area=14000.0,
+                               iscrowd=0)]),
+        open(root / "annotations" / "person_keypoints_val2017.json", "w"),
+    )
+    cfg = load_config()
+    cfg.defrost()
+    cfg.DATASET.DATASET = "ochuman"
+    cfg.DATASET.ROOT = str(root)
+    cfg.DATASET.TEST_SET = "val2017"
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.freeze()
+    ds = build_dataset(cfg, is_train=False)
+    assert len(ds) == 1
+    s = ds.get_sample(0, np.random.RandomState(0))
+    assert s["image"].shape == (64, 64, 3)
+    assert s["joints"].shape[1] == 17  # (M, J, 2) -> J dim check

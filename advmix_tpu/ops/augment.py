@@ -291,6 +291,7 @@ def make_advmix_views(
     key: jax.Array,
     normalize_mean=None,
     normalize_std=None,
+    out_dtype=None,  # e.g. jnp.bfloat16: halves the (B,H,W,9) HBM traffic
 ) -> jnp.ndarray:
     """Build the channel-concat (B, H, W, 9) [clean, autoaug, gridmask]
     views, each normalized like torchvision ToTensor+Normalize
@@ -311,4 +312,5 @@ def make_advmix_views(
     # (advaug.py:190-202: transform first, then grid_aug), so masked pixels
     # are exactly 0 in normalized space.
     gm = gridmask(norm(clean), k_gm)
-    return jnp.concatenate([norm(clean), norm(aa), gm], axis=-1)
+    views = jnp.concatenate([norm(clean), norm(aa), gm], axis=-1)
+    return views if out_dtype is None else views.astype(out_dtype)

@@ -15,7 +15,7 @@ DATASET.DATASET=ochuman + ROOT accordingly).
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import cv2
 import numpy as np

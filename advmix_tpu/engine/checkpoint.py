@@ -11,7 +11,7 @@ files and by orbax restore for native ones).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

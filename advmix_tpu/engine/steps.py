@@ -23,8 +23,7 @@ averaged so the stored state is deterministic.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,11 +10,9 @@ fed by the threaded Loader with on-device preprocessing (normalize /
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import time
-from typing import Optional
 
 import numpy as np
 
@@ -25,11 +23,8 @@ from ..data import Loader
 from ..ops.augment import make_advmix_views, IMAGENET_MEAN_STD
 from ..ops.heatmap import generate_target
 from ..ops.corruptions import corrupt, ALL_CORRUPTIONS
-from ..parallel import get_mesh, device_put_batch
-from ..parallel.mesh import replicate
-from ..utils.logging import AverageMeter, print_name_value, get_tb_writer
-from . import optim, state as state_lib, steps
-from .checkpoint import CheckpointManager, export_final_state
+from ..parallel import device_put_batch
+from ..utils.logging import AverageMeter, print_name_value
 
 logger = logging.getLogger("advmix_tpu")
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import batch_norm, conv, conv_transpose
-from .pose_hrnet import PoseHighResolutionNet, BLOCK_EXPANSION
+from .pose_hrnet import PoseHighResolutionNet
 from .pose_resnet import BasicBlock
 
 

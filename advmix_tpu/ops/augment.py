@@ -18,8 +18,6 @@ never reaches training and is not reproduced here.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax

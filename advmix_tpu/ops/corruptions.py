@@ -27,7 +27,6 @@ All functions: f(x, severity in 1..5, key) -> corrupted x, same shape.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 PIXEL_STD = 200.0

@@ -8,7 +8,6 @@ equivalent uses XLA's own cost model: `jit(...).lower(...).cost_analysis()`.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def model_summary(model, variables, sample_input, train: bool = False) -> dict:

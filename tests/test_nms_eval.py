@@ -198,3 +198,30 @@ def test_compute_oks_scale_invariance():
     dt_exact = dict(keypoints=list(kps), score=1.0)
     ious = compute_oks([dt_exact], [gt])
     np.testing.assert_allclose(ious[0, 0], 1.0, atol=1e-9)
+
+
+def test_crowd_annotation_allows_multiple_matches():
+    """iscrowd=1 GT is ignore-only: detections overlapping it are neither
+    rewarded nor penalized, and several may match it (COCOeval semantics)."""
+    gt, _ = _make_gt(n_img=1, people_per_img=1, seed=3)
+    real = gt["annotations"][0]
+    crowd = dict(real)
+    crowd.update(id=500, iscrowd=1,
+                 keypoints=[v for v in real["keypoints"]])
+    gt["annotations"].append(crowd)
+
+    # two detections on the same spot: one matches the real GT, the second
+    # would be a false positive — but the crowd ann absorbs it as ignored
+    dts = [
+        dict(image_id=1, category_id=1, keypoints=list(real["keypoints"]),
+             score=0.95),
+        dict(image_id=1, category_id=1, keypoints=list(real["keypoints"]),
+             score=0.90),
+    ]
+    stats = COCOKeypointEval(gt, dts).run()
+    np.testing.assert_allclose(stats[0], 1.0, atol=1e-6)
+
+    # sanity: WITHOUT the crowd ann the duplicate drags AP below 1
+    gt2, _ = _make_gt(n_img=1, people_per_img=1, seed=3)
+    stats2 = COCOKeypointEval(gt2, dts).run()
+    assert stats2[0] < 1.0

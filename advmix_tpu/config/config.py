@@ -83,10 +83,17 @@ class ConfigNode(dict):
         for key, value in zip(opts[0::2], opts[1::2]):
             node = self
             parts = key.split(".")
-            for p in parts[:-1]:
+            for j, p in enumerate(parts[:-1]):
                 if p not in node:
-                    node[p] = ConfigNode()
+                    # yacs raises on unknown keys (silent typos are worse);
+                    # free-form subtrees (MODEL.EXTRA) may grow new children
+                    if p == "EXTRA" or "EXTRA" in parts[:j]:
+                        node[p] = ConfigNode()
+                    else:
+                        raise KeyError(f"non-existent config key: {key}")
                 node = node[p]
+            if parts[-1] not in node and "EXTRA" not in parts[:-1]:
+                raise KeyError(f"non-existent config key: {key}")
             try:
                 value = ast.literal_eval(value)
             except (ValueError, SyntaxError):
@@ -170,6 +177,11 @@ def get_default_config() -> ConfigNode:
     c.DATASET.NUM_JOINTS_HALF_BODY = 8
     c.DATASET.COLOR_RGB = False
     c.DATASET.MINI_COCO = False
+    # TPU-native extension: host does decode only; the crop warp runs
+    # batched on device (Loader raw_mode + ops/transforms.warp_affine).
+    # WARP_BUCKET (h, w) must cover the dataset's largest image.
+    c.DATASET.DEVICE_WARP = False
+    c.DATASET.WARP_BUCKET = [640, 640]
     c.DATASET.VAL_FG = False
     c.DATASET.VAL_MASK = False
     c.DATASET.VAL_PARSING = False

@@ -352,10 +352,17 @@ class ConcatDataset(BaseJointsDataset):
     whose records point into a 'stylize_image' root.
     """
 
-    def __init__(self, datasets):
+    def __init__(self, datasets, style_tags=None):
+        """style_tags: optional per-child 0/1 floats; samples gain an
+        `is_style` field (the reference tags stylized records with
+        dataset='style', advaug.py:182,192)."""
         assert datasets, "need at least one dataset"
         first = datasets[0]
         self.datasets = list(datasets)
+        self.style_tags = (
+            list(style_tags) if style_tags is not None
+            else [0.0] * len(datasets)
+        )
         self.cfg = first.cfg
         self.is_train = first.is_train
         self.num_joints = first.num_joints
@@ -374,9 +381,14 @@ class ConcatDataset(BaseJointsDataset):
         return self._total
 
     def get_sample(self, idx: int, rng: np.random.RandomState) -> dict:
-        for d, off in zip(reversed(self.datasets), reversed(self._offsets)):
+        for d, off, tag in zip(
+            reversed(self.datasets), reversed(self._offsets),
+            reversed(self.style_tags),
+        ):
             if idx >= off:
-                return d.get_sample(idx - off, rng)
+                sample = d.get_sample(idx - off, rng)
+                sample["is_style"] = np.float32(tag)
+                return sample
         raise IndexError(idx)
 
     def evaluate(self, *args, **kwargs):

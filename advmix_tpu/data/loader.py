@@ -1,16 +1,19 @@
-"""Batching loader with background prefetch.
+"""Batching loader with a real thread pool and background prefetch.
 
 Replaces the reference's torch DataLoader usage (`tools/train.py:165-181`).
 Host work per sample is only decode + one cv2.warpAffine (datasets.py); the
-rest of the augmentation pipeline runs on device, so a small thread pool is
-enough to keep the TPU fed. Batches are plain dicts of stacked numpy arrays;
-the trainer moves them to the mesh with `device_put_batch`.
+rest of the augmentation pipeline runs on device. Samples are produced by a
+`num_threads`-wide ThreadPoolExecutor (cv2/np release the GIL during decode
+and warp, so threads scale on a multi-core host), with `prefetch + 1`
+batches in flight and batches yielded strictly in order. Batches are plain
+dicts of stacked numpy arrays; the trainer moves them to the mesh with
+`device_put_batch`.
 """
 
 from __future__ import annotations
 
-import queue
-import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -24,9 +27,20 @@ class Loader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 0,
-        num_threads: int = 2,
+        num_threads: int | None = None,
         prefetch: int = 2,
+        raw_mode: bool = False,
+        bucket_hw=(640, 640),
     ):
+        """raw_mode: produce get_raw_sample batches (padded source images +
+        crop matrices) for the on-device warp pipeline instead of host
+        cv2-warped crops."""
+        if num_threads is None:
+            import os
+
+            num_threads = max(2, min(8, os.cpu_count() or 2))
+        self.raw_mode = raw_mode
+        self.bucket_hw = tuple(bucket_hw)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -87,12 +101,16 @@ class Loader:
 
         sample_rng_base = self.seed * 100003 + self.epoch
 
-        def produce(batch_indices):
-            samples = []
-            for i in batch_indices:
-                rng = np.random.RandomState((sample_rng_base + int(i)) % (2**31))
-                samples.append(self.dataset.get_sample(int(i), rng))
-            real = len(samples)
+        def one(i: int):
+            rng = np.random.RandomState((sample_rng_base + int(i)) % (2**31))
+            if self.raw_mode:
+                return self.dataset.get_raw_sample(int(i), rng,
+                                                   self.bucket_hw)
+            return self.dataset.get_sample(int(i), rng)
+
+        def assemble(sample_futs, real):
+            samples = [f.result() if hasattr(f, "result") else f
+                       for f in sample_futs]
             if real < self.batch_size:
                 samples = self._pad(samples)
             b = self._collate(samples)
@@ -101,28 +119,26 @@ class Loader:
 
         if self.num_threads <= 1:
             for bidx in batches:
-                yield produce(bidx)
+                yield assemble([one(i) for i in bidx], len(bidx))
             return
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def worker():
-            try:
-                for bidx in batches:
-                    if stop.is_set():
-                        break
-                    q.put(produce(bidx))
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                yield item
-        finally:
-            stop.set()
+        # N-thread pool: per-sample futures, `prefetch + 1` batches in
+        # flight, strictly ordered yield
+        window = max(1, self.prefetch) + 1
+        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+            inflight: deque = deque()
+            bi = 0
+            while bi < len(batches) and len(inflight) < window:
+                bidx = batches[bi]
+                inflight.append(([ex.submit(one, i) for i in bidx], len(bidx)))
+                bi += 1
+            while inflight:
+                futs, real = inflight.popleft()
+                batch = assemble(futs, real)
+                if bi < len(batches):
+                    bidx = batches[bi]
+                    inflight.append(
+                        ([ex.submit(one, i) for i in bidx], len(bidx))
+                    )
+                    bi += 1
+                yield batch

@@ -88,16 +88,68 @@ def export_final_state(output_dir: str, params, name: str = "final_state"):
     return path
 
 
-def load_torch_checkpoint(path: str, variables: dict, strict: bool = False):
+def load_torch_checkpoint(path: str, variables: dict, strict: bool = False,
+                          pretrained_layers=None):
     """Load a torch .pth checkpoint into flax variables (fine-tune path,
-    `tools/train.py:198-235`)."""
+    `tools/train.py:198-235`).
+
+    Scanned (USE_SCAN) variables are handled by unstacking to the
+    torch-key-mirroring layout, key-mapping, then restacking — so the
+    headline AdvMix recipe (`--load_from_D` on a USE_SCAN config) loads
+    every key. Raises if nothing matched (a silently random-init fine-tune
+    is always a wiring bug); logs unmatched-key counts loudly otherwise."""
+    import logging
+
     import torch
 
-    from ..models.torch_convert import torch_to_flax_variables
+    from ..models.torch_convert import (
+        is_scanned,
+        stack_for_scan,
+        torch_to_flax_variables,
+        unstack_from_scan,
+    )
+
+    logger = logging.getLogger(__name__)
 
     payload = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(payload, dict) and "state_dict" in payload:
         payload = payload["state_dict"]
     if isinstance(payload, dict) and "best_state_dict" in payload:
         payload = payload["best_state_dict"]
-    return torch_to_flax_variables(payload, variables, strict=strict)
+
+    scanned = is_scanned(variables.get("params", {}))
+    if scanned:
+        template = variables
+        variables = {k: unstack_from_scan(v) for k, v in variables.items()}
+
+    loaded, report = torch_to_flax_variables(
+        payload, variables, strict=strict,
+        pretrained_layers=pretrained_layers, return_report=True,
+    )
+
+    if scanned:
+        loaded = {
+            k: stack_for_scan(loaded[k], template[k])
+            for k in loaded
+        }
+
+    if report["matched"] == 0:
+        raise KeyError(
+            f"torch checkpoint {path}: 0 of "
+            f"{report['matched'] + len(report['misses'])} keys matched the "
+            f"model — wrong architecture or naming drift "
+            f"(first misses: {report['misses'][:5]})"
+        )
+    if report["misses"]:
+        logger.warning(
+            "torch checkpoint %s: %d keys matched, %d UNMATCHED (dropped): "
+            "%s%s", path, report["matched"], len(report["misses"]),
+            report["misses"][:10],
+            " ..." if len(report["misses"]) > 10 else "",
+        )
+    else:
+        logger.info("torch checkpoint %s: all %d keys matched%s",
+                    path, report["matched"],
+                    f" ({len(report['filtered'])} filtered by "
+                    f"PRETRAINED_LAYERS)" if report["filtered"] else "")
+    return loaded

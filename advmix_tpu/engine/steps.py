@@ -253,6 +253,7 @@ def make_advmix_step(
 
 def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "data"):
     from ..ops.heatmap import get_final_preds_softargmax
+    from ..ops.transforms import transform_preds_jax
 
     loss_of = _loss_fn_for(cfg)
     flip_test = cfg.TEST.FLIP_TEST
@@ -260,6 +261,19 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
     post = cfg.TEST.POST_PROCESS
     soft = cfg.TEST.SOFT_ARGMAX  # soft-argmax decode variant (:129-162)
     pairs = tuple(tuple(p) for p in flip_pairs)
+    # production decode path on TPU is the fused Pallas kernel (parity
+    # tested against the XLA path in tests/test_native_pallas.py); XLA
+    # fallback elsewhere (CPU tests, interpret-free)
+    use_pallas = jax.default_backend() == "tpu"
+
+    def decode(out, center, scale):
+        if use_pallas:
+            from ..ops.pallas.decode_kernel import decode_heatmaps_pallas
+
+            coords, maxvals = decode_heatmaps_pallas(out, post_process=post)
+            h, w = out.shape[1], out.shape[2]
+            return transform_preds_jax(coords, center, scale, (w, h)), maxvals
+        return get_final_preds(out, center, scale, post_process=post)
 
     def step(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -279,9 +293,7 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
                 out, batch["center"], batch["scale"], post_process=post
             )
         else:
-            preds, maxvals = get_final_preds(
-                out, batch["center"], batch["scale"], post_process=post
-            )
+            preds, maxvals = decode(out, batch["center"], batch["scale"])
         metrics = {
             "loss": lax.pmean(loss, axis),
             "acc": lax.pmean(acc, axis),

@@ -29,43 +29,113 @@ from ..utils.logging import AverageMeter, print_name_value
 logger = logging.getLogger("advmix_tpu")
 
 
+def make_random_corruption_fn(mesh, chunk: int = 1, axis: str = "data"):
+    """Per-IMAGE random (type, severity) corruption for the
+    `--random_corruption` baseline (`JointsDataset.py:284-286` draws per
+    image in __getitem__).
+
+    TPU-native design: under shard_map each replica reshapes its local
+    batch to (n_chunks, chunk, H, W, C) and lax.scan's a single 75-branch
+    lax.switch body over the chunks — one compiled corruption subprogram
+    per (type, severity), per-image draws at chunk=1, and no cross-device
+    traffic. chunk > 1 trades draw granularity for larger (faster) ops."""
+    from jax.sharding import PartitionSpec as P
+
+    n_types = len(ALL_CORRUPTIONS)
+    branches = []
+    for i in range(n_types * 5):
+        name = ALL_CORRUPTIONS[i // 5]
+        sev = i % 5 + 1
+        branches.append(
+            lambda x, k, name=name, sev=sev: corrupt(x, name, sev, k)
+        )
+
+    def local(img, key):
+        b, h, w, c = img.shape
+        ch = min(chunk, b)
+        n_chunks = b // ch
+        rem = img[n_chunks * ch:]
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        keys = jax.random.split(key, n_chunks)
+
+        def body(_, xs):
+            x, kk = xs
+            k_c, k_s = jax.random.split(kk)
+            idx = jax.random.randint(k_c, (), 0, n_types * 5)
+            return None, jax.lax.switch(idx, branches, x, k_s)
+
+        _, out = jax.lax.scan(
+            body, None, (img[: n_chunks * ch].reshape(n_chunks, ch, h, w, c),
+                         keys)
+        )
+        out = out.reshape(n_chunks * ch, h, w, c)
+        if rem.shape[0]:
+            k_c, k_s = jax.random.split(jax.random.fold_in(key, -1))
+            idx = jax.random.randint(k_c, (), 0, n_types * 5)
+            out = jnp.concatenate(
+                [out, jax.lax.switch(idx, branches, rem, k_s)]
+            )
+        return out
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P()), out_specs=P(axis), check_vma=False,
+    )
+
+
 def make_preprocessor(cfg, advmix: bool, train: bool,
-                      random_corruption: bool = False):
-    """Jitted device-side batch prep: uint8 crops -> normalized views +
-    Gaussian targets. Runs on the mesh-sharded batch before the step."""
+                      random_corruption: bool = False, mesh=None,
+                      corruption_chunk: int = 1, sp_style: bool = False,
+                      device_warp: bool = False):
+    """Jitted device-side batch prep: crops (or, with device_warp, padded
+    raw images + crop matrices, ops/transforms.warp_affine) -> normalized
+    views + Gaussian targets. Signature: prep(raw_dict, key); the keys it
+    needs from the host batch are listed in `prep.required`.
+
+    sp_style: views take the per-sample `is_style` mask (advaug.py:182,192
+    exemptions)."""
     image_size = tuple(cfg.MODEL.IMAGE_SIZE)
     heatmap_size = tuple(cfg.MODEL.HEATMAP_SIZE)
     sigma = float(cfg.MODEL.SIGMA)
     mean, std = IMAGENET_MEAN_STD
 
+    corrupt_fn = None
+    if random_corruption and train:
+        if mesh is None:
+            from ..parallel import get_mesh
+
+            mesh = get_mesh()
+        corrupt_fn = make_random_corruption_fn(mesh, chunk=corruption_chunk)
+
     @jax.jit
-    def prep(image_u8, joints, joints_vis, key):
-        img = image_u8.astype(jnp.float32)
-        if random_corruption and train:
-            # --random_corruption baseline (JointsDataset.py:284-286):
-            # a random benchmark corruption at random severity per batch.
-            k_c, k_s, key = jax.random.split(key, 3)
-            # draw one (type, severity) per batch to keep the trace static:
-            # branch over 15 types x 5 severities via switch
-            idx = jax.random.randint(k_c, (), 0, 15 * 5)
+    def prep_jit(raw, key):
+        img = raw["image"].astype(jnp.float32)
+        if device_warp:
+            from ..ops.transforms import warp_affine
 
-            def make_branch(i):
-                name = ALL_CORRUPTIONS[i // 5]
-                sev = i % 5 + 1
-                return lambda x, k: corrupt(x, name, sev, k)
-
-            img = jax.lax.switch(
-                idx, [make_branch(i) for i in range(75)], img, k_s
-            )
+            img = warp_affine(img, raw["warp_matrix"], image_size)
+        if corrupt_fn is not None:
+            k_c, key = jax.random.split(key)
+            img = corrupt_fn(img, k_c)
         target, _, tw = generate_target(
-            joints, joints_vis, image_size, heatmap_size, sigma
+            raw["joints"], raw["joints_vis"], image_size, heatmap_size, sigma
         )
         if advmix:
-            views = make_advmix_views(img, key)
+            views = make_advmix_views(
+                img, key, style_mask=raw.get("is_style")
+            )
             return {"views": views, "target": target, "target_weight": tw}
         norm = (img - mean) / std
         return {"image": norm, "target": target, "target_weight": tw}
 
+    def prep(raw, key):
+        return prep_jit(raw, key)
+
+    prep.required = tuple(
+        ["image", "joints", "joints_vis"]
+        + (["warp_matrix"] if device_warp else [])
+        + (["is_style"] if sp_style else [])
+    )
     return prep
 
 
@@ -110,15 +180,21 @@ def train_epoch(
     for i, host_batch in enumerate(loader):
         data_time.update(time.time() - end)
         key, sub = jax.random.split(key)
-        raw = device_put_batch(
-            {
-                "image": host_batch["image"],
-                "joints": host_batch["joints"],
-                "joints_vis": host_batch["joints_vis"],
-            },
-            mesh,
-        )
-        batch = prep_fn(raw["image"], raw["joints"], raw["joints_vis"], sub)
+        required = getattr(prep_fn, "required",
+                           ("image", "joints", "joints_vis"))
+        host = {}
+        for k in required:
+            if k in host_batch:
+                host[k] = host_batch[k]
+            elif k == "is_style":
+                host[k] = np.zeros(len(host_batch["image"]), np.float32)
+            else:
+                raise KeyError(
+                    f"loader batch lacks '{k}' required by the preprocessor "
+                    f"(device_warp needs Loader(raw_mode=True))"
+                )
+        raw = device_put_batch(host, mesh)
+        batch = prep_fn(raw, sub)
         result = step_fn(state, batch)
         debug_out = None
         if len(result) == 3:

@@ -14,8 +14,40 @@ from collections import OrderedDict, defaultdict
 
 import numpy as np
 
-from ..native import oks_nms, soft_oks_nms  # C++ with numpy fallback
+from ..native import greedy_from_matrix, oks_nms, soft_oks_nms
 from .cocoeval_np import COCOKeypointEval, STATS_NAMES
+
+# Per-image candidate count above which greedy OKS-NMS routes through the
+# Pallas OKS-matrix kernel on TPU (the O(N^2) OKS matrix dominates there;
+# the greedy scan stays on host in C++). Below it, per-image device
+# dispatch overhead exceeds the host numpy/C++ loop.
+PALLAS_NMS_MIN_CANDIDATES = 96
+
+
+def _tpu_available() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _oks_nms_pallas(kpts_flat: np.ndarray, scores: np.ndarray,
+                    areas: np.ndarray, thresh: float,
+                    interpret: bool = False):
+    """Greedy OKS-NMS with the pairwise OKS matrix computed on-TPU
+    (ops/pallas/oks_kernel.py, the analog of the reference's CUDA
+    `lib/nms/nms_kernel.cu:33-77` tile kernel); greedy scan on host C++."""
+    from ..ops.pallas.oks_kernel import oks_matrix_pallas
+
+    n = kpts_flat.shape[0]
+    kpts = kpts_flat.reshape(n, -1, 3)[:, :, :2].astype(np.float32)
+    sim = np.asarray(
+        oks_matrix_pallas(kpts, areas.astype(np.float32),
+                          interpret=interpret)
+    )
+    return greedy_from_matrix(sim, scores.astype(np.float32), thresh)
 
 
 def evaluate_coco_keypoints(cfg, dataset, preds, output_dir, all_boxes, img_path):
@@ -77,6 +109,9 @@ def evaluate_coco_keypoints(cfg, dataset, preds, output_dir, all_boxes, img_path
         areas = np.array([p["area"] for p in img_kpts])
         if cfg.TEST.SOFT_NMS:
             keep = soft_oks_nms(kpts_flat, scores, areas, oks_thre)
+        elif (len(img_kpts) >= PALLAS_NMS_MIN_CANDIDATES
+              and _tpu_available()):
+            keep = _oks_nms_pallas(kpts_flat, scores, areas, oks_thre)
         else:
             keep = oks_nms(kpts_flat, scores, areas, oks_thre)
         if len(keep) == 0:

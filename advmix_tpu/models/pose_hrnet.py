@@ -291,7 +291,8 @@ def get_pose_net(cfg, dtype=jnp.float32) -> PoseHighResolutionNet:
     MODEL.EXTRA.USE_SCAN (TPU-native extension) enables the scanned
     construction: identical stage modules / branch blocks become lax.scan
     bodies, shrinking the compiled graph ~4x (same numerics, different
-    param pytree layout; torch checkpoint import requires USE_SCAN: false).
+    param pytree layout; torch checkpoints load through
+    torch_convert.unstack_from_scan/stack_for_scan automatically).
     """
     extra = cfg.MODEL.EXTRA
     return PoseHighResolutionNet(

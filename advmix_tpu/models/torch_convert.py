@@ -51,17 +51,39 @@ def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> dict:
     return tree
 
 
+def _layer_allowed(tkey: str, pretrained_layers) -> bool:
+    """PRETRAINED_LAYERS selective-init semantics
+    (`lib/models/pose_hrnet.py:483-489`): a torch key loads iff its first
+    dotted component is listed, or the list starts with '*'."""
+    if pretrained_layers is None:
+        return True
+    layers = list(pretrained_layers)
+    if layers and layers[0] == "*":
+        return True
+    return tkey.split(".")[0] in layers
+
+
 def torch_to_flax_variables(
     state_dict: Dict[str, Any],
     variables: dict,
     strict: bool = False,
     filter_shapes: bool = True,
+    pretrained_layers=None,
+    return_report: bool = False,
 ) -> dict:
     """Fill a flax variables dict {'params':..., 'batch_stats':...} from a
     torch state_dict. Unknown/shape-mismatched torch entries are skipped
     when `filter_shapes` (matching the reference's shape-filtered partial
-    load, `tools/train.py:225-231`)."""
+    load, `tools/train.py:225-231`). `pretrained_layers` applies the
+    reference's selective init filter (`lib/models/pose_hrnet.py:462-492`).
+    With `return_report`, also returns {'matched': n, 'misses': [...],
+    'filtered': [...]} so callers can verify the load actually happened."""
     state_dict = strip_module_prefix(state_dict)
+    filtered = [k for k in state_dict
+                if not _layer_allowed(k, pretrained_layers)]
+    if filtered:
+        state_dict = {k: v for k, v in state_dict.items()
+                      if _layer_allowed(k, pretrained_layers)}
     flat_params = _flatten(variables.get("params", {}))
     flat_stats = _flatten(variables.get("batch_stats", {}))
 
@@ -75,6 +97,7 @@ def torch_to_flax_variables(
     new_params = dict(flat_params)
     new_stats = dict(flat_stats)
     misses = []
+    matched = 0
 
     for tkey, tval in state_dict.items():
         if tkey.endswith("num_batches_tracked"):
@@ -123,6 +146,7 @@ def torch_to_flax_variables(
             new_params[path] = arr.astype(np.asarray(cur).dtype)
         else:
             new_stats[path] = arr.astype(np.asarray(cur).dtype)
+        matched += 1
 
     if strict and misses:
         raise KeyError(f"unmatched torch keys: {misses}")
@@ -131,12 +155,102 @@ def torch_to_flax_variables(
     out["params"] = _unflatten(new_params)
     if flat_stats:
         out["batch_stats"] = _unflatten(new_stats)
+    if return_report:
+        return out, {"matched": matched, "misses": misses,
+                     "filtered": filtered}
     return out
 
 
 # ---------------------------------------------------------------------------
 # scan <-> unscanned param restacking (PoseHighResolutionNet USE_SCAN)
 # ---------------------------------------------------------------------------
+
+def _resolve_scan_path(path, stage_m=None, block_b=None):
+    """Map a scanned variable path to the unscanned path for given
+    (stage module, block) indices."""
+    out = []
+    i = 0
+    stage_prefix = None
+    branch_prefix = None
+    while i < len(path):
+        p = path[i]
+        # classify a *_scan container by its child: "mod" = a scanned
+        # HighResolutionModule stage, "block" = scanned residual blocks
+        # (HRNet branches AND ResNet layer tails, e.g. layer3_scan)
+        if (p.endswith("_scan") and i + 1 < len(path)
+                and path[i + 1] == "mod"):
+            stage_prefix = p[: -len("_scan")] + f"_{stage_m}"
+            out.append(stage_prefix)
+            i += 2
+            continue
+        if (p.endswith("_scan") and i + 1 < len(path)
+                and path[i + 1] == "block"):
+            base = p[: -len("_scan")]
+            base = base.replace("mod", stage_prefix, 1) if base.startswith("mod") else base
+            # ResNet tails start at block index 1 (block 0 downsamples
+            # and stays unscanned); HRNet branch scans start at 0
+            start = 1 if not ("_branches_" in p or p.startswith("mod")) else 0
+            branch_prefix = base + f"_{block_b + start}"
+            out.append(branch_prefix)
+            i += 2
+            continue
+        if p.startswith("mod_") and stage_prefix is not None:
+            out.append(p.replace("mod", stage_prefix, 1))
+            i += 1
+            continue
+        if p.startswith("block_") and branch_prefix is not None:
+            out.append(p.replace("block", branch_prefix, 1))
+            i += 1
+            continue
+        out.append(p)
+        i += 1
+    return tuple(out)
+
+
+def _scan_kinds(path):
+    has_stage = any(
+        p.endswith("_scan") and i + 1 < len(path) and path[i + 1] == "mod"
+        for i, p in enumerate(path)
+    )
+    has_block = any(
+        p.endswith("_scan") and i + 1 < len(path) and path[i + 1] == "block"
+        for i, p in enumerate(path)
+    )
+    return has_stage, has_block
+
+
+def is_scanned(tree: dict) -> bool:
+    """True if a variables collection uses the scanned (USE_SCAN) layout."""
+    return any(any(_scan_kinds(path)) for path in _flatten(tree))
+
+
+def unstack_from_scan(scanned: dict) -> dict:
+    """Inverse of `stack_for_scan`: expand a scanned variable collection
+    into the unscanned (torch-key-mirroring) layout by slicing the leading
+    module/block axes. Lets torch checkpoints load into USE_SCAN models:
+    unstack -> key-map -> restack (the reference's fine-tune load,
+    `tools/train.py:198-235`, has no scan concept to match)."""
+    import numpy as _np
+
+    out = {}
+    for path, val in _flatten(scanned).items():
+        has_stage, has_block = _scan_kinds(path)
+        if not has_stage and not has_block:
+            out[path] = val
+            continue
+        val = _np.asarray(val)
+        if has_stage and has_block:
+            for m in range(val.shape[0]):
+                for b in range(val.shape[1]):
+                    out[_resolve_scan_path(path, m, b)] = val[m, b]
+        elif has_block:
+            for b in range(val.shape[0]):
+                out[_resolve_scan_path(path, None, b)] = val[b]
+        else:
+            for m in range(val.shape[0]):
+                out[_resolve_scan_path(path, m, None)] = val[m]
+    return _unflatten(out)
+
 
 def stack_for_scan(unscanned: dict, scanned_template: dict) -> dict:
     """Restack an unscanned HRNet variable collection (params or
@@ -152,57 +266,11 @@ def stack_for_scan(unscanned: dict, scanned_template: dict) -> dict:
     import numpy as _np
 
     flat_un = _flatten(unscanned)
-
-    def resolve(path, stage_m=None, block_b=None):
-        """Map a scanned path to the unscanned path for given indices."""
-        out = []
-        i = 0
-        stage_prefix = None
-        branch_prefix = None
-        while i < len(path):
-            p = path[i]
-            # classify a *_scan container by its child: "mod" = a scanned
-            # HighResolutionModule stage, "block" = scanned residual blocks
-            # (HRNet branches AND ResNet layer tails, e.g. layer3_scan)
-            if (p.endswith("_scan") and i + 1 < len(path)
-                    and path[i + 1] == "mod"):
-                stage_prefix = p[: -len("_scan")] + f"_{stage_m}"
-                out.append(stage_prefix)
-                i += 2
-                continue
-            if (p.endswith("_scan") and i + 1 < len(path)
-                    and path[i + 1] == "block"):
-                base = p[: -len("_scan")]
-                base = base.replace("mod", stage_prefix, 1) if base.startswith("mod") else base
-                # ResNet tails start at block index 1 (block 0 downsamples
-                # and stays unscanned); HRNet branch scans start at 0
-                start = 1 if not ("_branches_" in p or p.startswith("mod")) else 0
-                branch_prefix = base + f"_{block_b + start}"
-                out.append(branch_prefix)
-                i += 2
-                continue
-            if p.startswith("mod_") and stage_prefix is not None:
-                out.append(p.replace("mod", stage_prefix, 1))
-                i += 1
-                continue
-            if p.startswith("block_") and branch_prefix is not None:
-                out.append(p.replace("block", branch_prefix, 1))
-                i += 1
-                continue
-            out.append(p)
-            i += 1
-        return tuple(out)
+    resolve = _resolve_scan_path
 
     new_flat = {}
     for path, tmpl in _flatten(scanned_template).items():
-        has_stage_scan = any(
-            p.endswith("_scan") and i + 1 < len(path) and path[i + 1] == "mod"
-            for i, p in enumerate(path)
-        )
-        has_block_scan = any(
-            p.endswith("_scan") and i + 1 < len(path) and path[i + 1] == "block"
-            for i, p in enumerate(path)
-        )
+        has_stage_scan, has_block_scan = _scan_kinds(path)
         if not has_stage_scan and not has_block_scan:
             new_flat[path] = flat_un[path]
             continue

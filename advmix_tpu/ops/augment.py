@@ -290,10 +290,15 @@ def make_advmix_views(
     normalize_mean=None,
     normalize_std=None,
     out_dtype=None,  # e.g. jnp.bfloat16: halves the (B,H,W,9) HBM traffic
+    style_mask: jnp.ndarray | None = None,  # (B,) 1.0 where sample is styled
 ) -> jnp.ndarray:
     """Build the channel-concat (B, H, W, 9) [clean, autoaug, gridmask]
     views, each normalized like torchvision ToTensor+Normalize
-    (JointsDataset `transform`)."""
+    (JointsDataset `transform`).
+
+    style_mask implements the --sp_style exemption (`advaug.py:182,192`):
+    stylized samples skip AutoAugment and GridMask — their 3 views are all
+    the normalized stylized image."""
     k_aa, k_gm = jax.random.split(key)
     aa = autoaugment(clean, k_aa)
 
@@ -309,6 +314,12 @@ def make_advmix_views(
     # GridMask runs on the *normalized* tensor in the reference
     # (advaug.py:190-202: transform first, then grid_aug), so masked pixels
     # are exactly 0 in normalized space.
-    gm = gridmask(norm(clean), k_gm)
-    views = jnp.concatenate([norm(clean), norm(aa), gm], axis=-1)
+    clean_n = norm(clean)
+    aa_n = norm(aa)
+    gm = gridmask(clean_n, k_gm)
+    if style_mask is not None:
+        m = (style_mask > 0.5).reshape(-1, 1, 1, 1)
+        aa_n = jnp.where(m, clean_n, aa_n)
+        gm = jnp.where(m, clean_n, gm)
+    views = jnp.concatenate([clean_n, aa_n, gm], axis=-1)
     return views if out_dtype is None else views.astype(out_dtype)

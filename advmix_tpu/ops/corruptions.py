@@ -46,14 +46,68 @@ def _gaussian_kernel_1d(sigma: float, radius: int) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def _sep_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
-    """Separable Gaussian blur, reflect padding (scipy-like)."""
+def _reflect_index(i, n, include_edge):
+    """Boundary index folding for out-of-range indices. include_edge=True
+    is scipy's 'reflect' (d c b a | a b c d, period 2n); False is scipy
+    'mirror' / cv2 BORDER_REFLECT_101 (d c b | a b c d | c b a,
+    period 2n-2). Valid for any magnitude of overrun (periodic)."""
+    if include_edge:
+        period = 2 * n
+        i = jnp.mod(i, period)
+        return jnp.where(i >= n, period - 1 - i, i)
+    period = max(2 * n - 2, 1)
+    i = jnp.mod(i, period)
+    return jnp.where(i >= n, period - i, i)
+
+
+def _np_reflect_index(i: np.ndarray, n: int, include_edge: bool) -> np.ndarray:
+    if include_edge:
+        period = 2 * n
+        i = np.mod(i, period)
+        return np.where(i >= n, period - 1 - i, i)
+    period = max(2 * n - 2, 1)
+    i = np.mod(i, period)
+    return np.where(i >= n, period - i, i)
+
+
+def _blur_matrix(n: int, sigma: float, radius: int, include_edge: bool):
+    """Exact dense 1-D blur operator with reflected boundary folded in:
+    blurred[i] = sum_t k[t] * x[fold(i + t)] == (x @ W^T)[i]."""
+    k = _gaussian_kernel_1d(sigma, radius)
+    mat = np.zeros((n, n), np.float32)
+    taps = np.arange(-radius, radius + 1)
+    for i in range(n):
+        src = _np_reflect_index(i + taps, n, include_edge)
+        np.add.at(mat[i], src, k)
+    return mat
+
+
+def _sep_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0,
+              mode: str = "mirror") -> jnp.ndarray:
+    """Separable Gaussian blur with reflected boundaries. mode='mirror'
+    (edge not repeated) or 'symmetric' (scipy gaussian_filter 'reflect').
+
+    Small radii run as taps-wide convs with gather-based boundary
+    extension. Large radii (elastic_transform's sigma=0.7*244 gives a
+    513-px radius) instead fold kernel + boundary into an exact dense
+    (n, n) operator built on host — two small MXU matmuls instead of a
+    1000-tap conv."""
     if sigma <= 0:
         return x
     radius = max(1, int(truncate * sigma + 0.5))
-    k = jnp.asarray(_gaussian_kernel_1d(sigma, radius))
     b, h, w, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0), (0, 0)), mode="reflect")
+    edge = mode == "symmetric"
+
+    if 2 * radius + 1 > min(h, w):
+        wh = jnp.asarray(_blur_matrix(h, sigma, radius, edge))  # (h, h)
+        ww = jnp.asarray(_blur_matrix(w, sigma, radius, edge))  # (w, w)
+        # blur rows: out[b,i,w,c] = sum_j wh[i,j] x[b,j,w,c]
+        xh = jnp.einsum("ij,bjwc->biwc", wh, x)
+        return jnp.einsum("ij,bhjc->bhic", ww, xh)
+
+    k = jnp.asarray(_gaussian_kernel_1d(sigma, radius))
+    idx_h = _reflect_index(jnp.arange(-radius, h + radius), h, edge)
+    xp = x[:, idx_h, :, :]
     kh = k.reshape(-1, 1, 1, 1)
     xh = jax.lax.conv_general_dilated(
         xp.transpose(0, 3, 1, 2).reshape(b * c, 1, h + 2 * radius, w),
@@ -63,7 +117,8 @@ def _sep_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.ndarra
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     xh = xh.reshape(b, c, h, w).transpose(0, 2, 3, 1)
-    xp = jnp.pad(xh, ((0, 0), (0, 0), (radius, radius), (0, 0)), mode="reflect")
+    idx_w = _reflect_index(jnp.arange(-radius, w + radius), w, edge)
+    xp = xh[:, :, idx_w, :]
     kw = k.reshape(1, -1, 1, 1)
     xw = jax.lax.conv_general_dilated(
         xp.transpose(0, 3, 1, 2).reshape(b * c, 1, h, w + 2 * radius),
@@ -248,11 +303,11 @@ def _motion_kernels(length: int, sigma: float, n_angles: int = 16) -> np.ndarray
 
 def motion_blur(x, severity, key):
     length, sigma = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][severity - 1]
-    bank = jnp.asarray(_motion_kernels(length, sigma))  # (A, k, k)
+    bank = _motion_kernels(length, sigma)  # (A, k, k) numpy constants
     b = x.shape[0]
     idx = jax.random.randint(key, (b,), 0, bank.shape[0])
     outs = jnp.stack(
-        [_conv2d_same(x / 255.0, np.asarray(bank[a])) for a in range(bank.shape[0])]
+        [_conv2d_same(x / 255.0, bank[a]) for a in range(bank.shape[0])]
     )  # (A, B, H, W, C)
     out = jnp.take_along_axis(
         outs, idx[None, :, None, None, None], axis=0
@@ -409,10 +464,10 @@ def snow(x, severity, key):
     layer = warp_affine(layer, mats, (w, h))
     layer = jnp.where(layer < thresh, 0.0, layer)
     # motion-blur the flakes
-    bank = jnp.asarray(_motion_kernels(blur_len, blur_sig, 8))
+    bank = _motion_kernels(blur_len, blur_sig, 8)  # numpy constants
     idx = jax.random.randint(k2, (b,), 0, bank.shape[0])
     outs = jnp.stack(
-        [_conv2d_same(layer, np.asarray(bank[a])) for a in range(bank.shape[0])]
+        [_conv2d_same(layer, bank[a]) for a in range(bank.shape[0])]
     )
     layer = jnp.take_along_axis(outs, idx[None, :, None, None, None], axis=0)[0]
     # darken the scene toward gray then add the snow layer twice (the
@@ -491,50 +546,109 @@ def pixelate(x, severity, key=None):
     return jax.image.resize(small, (b, h, w, ch), method="nearest")
 
 
-def elastic_transform(x, severity, key):
-    # (alpha, sigma, affine-jitter sigma) on the 244-normalized scale used
-    # by imagecorruptions; rescaled to the actual image size
-    b, h, w, ch = x.shape
-    base = min(h, w)
-    c = [
-        (base * 2, base * 0.7, base * 0.1),
-        (base * 2, base * 0.08, base * 0.2),
-        (base * 0.05, base * 0.01, base * 0.02),
-        (base * 0.07, base * 0.01, base * 0.02),
-        (base * 0.12, base * 0.01, base * 0.02),
-    ][severity - 1]
-    alpha, sigma, _ = c
-    k1, k2 = jax.random.split(key)
-    dx = _sep_blur(
-        (jax.random.uniform(k1, (b, h, w, 1)) * 2 - 1), sigma / 4.0
-    )[..., 0] * alpha / 8.0
-    dy = _sep_blur(
-        (jax.random.uniform(k2, (b, h, w, 1)) * 2 - 1), sigma / 4.0
-    )[..., 0] * alpha / 8.0
+def _bilinear_sample(img, ys, xs, include_edge):
+    """Per-image bilinear gather at float coords (B,H,W), reflect borders.
+    img: (B, H, W, C)."""
+    b, h, w, ch = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
 
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + dy
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + dx
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = jnp.clip(ys - y0, 0, 1)[..., None]
-    wx = jnp.clip(xs - x0, 0, 1)[..., None]
-
-    flat = x.reshape(b, h * w, ch)
+    flat = img.reshape(b, h * w, ch)
 
     def g(yy, xx):
+        yy = _reflect_index(yy, h, include_edge)
+        xx = _reflect_index(xx, w, include_edge)
         return jnp.take_along_axis(
             flat, (yy * w + xx).reshape(b, -1, 1), axis=1
         ).reshape(b, h, w, ch)
 
-    out = (
+    return (
         g(y0, x0) * (1 - wx) * (1 - wy)
-        + g(y0, x1) * wx * (1 - wy)
-        + g(y1, x0) * (1 - wx) * wy
-        + g(y1, x1) * wx * wy
+        + g(y0, x0 + 1) * wx * (1 - wy)
+        + g(y0 + 1, x0) * (1 - wx) * wy
+        + g(y0 + 1, x0 + 1) * wx * wy
     )
-    return jnp.clip(out, 0, 255)
+
+
+ELASTIC_CONSTANTS = [
+    (244 * 2, 244 * 0.7, 244 * 0.1),
+    (244 * 2, 244 * 0.08, 244 * 0.2),
+    (244 * 0.05, 244 * 0.01, 244 * 0.02),
+    (244 * 0.07, 244 * 0.01, 244 * 0.02),
+    (244 * 0.12, 244 * 0.01, 244 * 0.02),
+]
+
+
+def elastic_points(h, w):
+    """The affine-jitter correspondence triangle. The source passes
+    (row, col) pairs where cv2 expects (x, y); the quirk is kept verbatim —
+    pts are just an arbitrary correspondence basis."""
+    cy, cx = float(np.float32(h) // 2), float(np.float32(w) // 2)
+    s = float(min(h, w) // 3)
+    return np.asarray(
+        [[cy + s, cx + s], [cy + s, cx - s], [cy - s, cx - s]], np.float32
+    )
+
+
+def _elastic_core(x01, delta, noise_dx, noise_dy, alpha, sigma):
+    """Deterministic elastic given the random draws (tested bit-level
+    against a cv2+scipy oracle in tests/test_corruptions.py).
+
+    x01: (B,H,W,C) in [0,1]; delta: (B,3,2) affine point jitter;
+    noise_dx/noise_dy: (B,H,W,1) in [-1,1]."""
+    b, h, w, ch = x01.shape
+
+    # --- random affine (per image): solve pts1 -> pts1+delta, then invert
+    # (cv2.warpAffine inverse-maps dst -> src), BORDER_REFLECT_101 ---
+    pts1 = jnp.asarray(elastic_points(h, w))
+    pts2 = pts1[None] + delta
+    a_mat = jnp.concatenate(
+        [pts1, jnp.ones((3, 1), jnp.float32)], axis=1
+    )  # (3, 3)
+    sol = jnp.linalg.solve(
+        jnp.broadcast_to(a_mat, (b, 3, 3)), pts2
+    )  # (b, 3, 2): columns of the forward map
+    fwd = jnp.concatenate(
+        [sol.transpose(0, 2, 1),
+         jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)[None], (b, 1, 1))],
+        axis=1,
+    )  # (b, 3, 3)
+    inv = jnp.linalg.inv(fwd)
+
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    sx = inv[:, 0, 0, None, None] * xx + inv[:, 0, 1, None, None] * yy + inv[:, 0, 2, None, None]
+    sy = inv[:, 1, 0, None, None] * xx + inv[:, 1, 1, None, None] * yy + inv[:, 1, 2, None, None]
+    warped = _bilinear_sample(x01, sy, sx, include_edge=False)
+
+    # --- smoothed displacement field (scipy gaussian truncate=3,
+    # mode='reflect' == symmetric) ---
+    dx = _sep_blur(noise_dx, sigma, truncate=3.0, mode="symmetric")[..., 0] * alpha
+    dy = _sep_blur(noise_dy, sigma, truncate=3.0, mode="symmetric")[..., 0] * alpha
+
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + dy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + dx
+    out = _bilinear_sample(warped, ys, xs, include_edge=True)
+    return _clip01(out)
+
+
+def elastic_transform(x, severity, key):
+    """ImageNet-C elastic: random affine jitter of a center-square triangle
+    (cv2.getAffineTransform + warpAffine BORDER_REFLECT_101) followed by a
+    Gaussian-smoothed displacement field (imagecorruptions corruptions.py
+    elastic_transform; constants are the 244-scale (alpha, sigma,
+    affine-jitter) triples, truncate=3 blur as in the scipy call)."""
+    b, h, w, ch = x.shape
+    alpha, sigma, jitter = ELASTIC_CONSTANTS[severity - 1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    delta = jax.random.uniform(k3, (b, 3, 2), minval=-jitter, maxval=jitter)
+    ndx = jax.random.uniform(k1, (b, h, w, 1)) * 2 - 1
+    ndy = jax.random.uniform(k2, (b, h, w, 1)) * 2 - 1
+    return _elastic_core(x / 255.0, delta, ndx, ndy, alpha, sigma) * 255.0
 
 
 # JPEG via on-device DCT quantization --------------------------------------

@@ -50,7 +50,11 @@ def oks_iou_np(g, d, a_g, a_d, sigmas=None, in_vis_thre=None) -> np.ndarray:
             (a_g + a_d[i]) / 2 + np.spacing(1)
         ) / 2
         if in_vis_thre is not None:
-            keep = (vg > in_vis_thre) & (vd > in_vis_thre)
+            # reference quirk (`lib/nms/nms.py:91`): `list(vg > t) and
+            # list(vd > t)` evaluates to the SECOND list (python `and` on a
+            # non-empty list), so only d's visibility masks. Kept bit-for-bit
+            # (dead in production: coco.py:355-363 never passes in_vis_thre).
+            keep = vd > in_vis_thre
             e = e[keep]
         ious[i] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] != 0 else 0.0
     return ious

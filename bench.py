@@ -122,6 +122,18 @@ def main():
         jax.device_get(jax.tree.leaves(st.params_d)[0])
 
     key = jax.random.PRNGKey(1)
+    # measured FLOPs of the whole fused program, to pin the baseline
+    # derivation (the 63 GFLOPs/img estimate behind A100_BASELINE_IMG_S)
+    gflops_per_img = None
+    try:
+        cost = full_step.lower(st, raw, key).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        gflops_per_img = flops / batch_size / 1e9
+    except Exception:
+        pass
+
     # warmup / compile
     for i in range(3):
         st, metrics = full_step(st, raw, jax.random.fold_in(key, i))
@@ -136,19 +148,23 @@ def main():
     img_s = batch_size * n_steps / dt
     img_s_chip = img_s / n_dev
     baseline = A100_BASELINE_IMG_S * TARGET_MULTIPLE
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "AdvMix HRNet-W32 256x192 fused train step throughput "
-                    f"(batch {per_chip}/chip, {dtype_name}, {n_dev} chip(s))"
-                ),
-                "value": round(img_s_chip, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_s_chip / baseline, 3),
-            }
+    out = {
+        "metric": (
+            "AdvMix HRNet-W32 256x192 fused train step throughput "
+            f"(batch {per_chip}/chip, {dtype_name}, {n_dev} chip(s))"
+        ),
+        "value": round(img_s_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s_chip / baseline, 3),
+    }
+    if gflops_per_img is not None:
+        # pins the A100-baseline derivation (~63 GFLOPs/img) to a measured
+        # number; also implies achieved TFLOP/s = value * gflops / 1000
+        out["measured_gflops_per_img"] = round(gflops_per_img, 2)
+        out["achieved_tflops_per_chip"] = round(
+            img_s_chip * gflops_per_img / 1e3, 2
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

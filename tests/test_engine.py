@@ -222,7 +222,7 @@ def test_synthetic_learnability():
             raw = device_put_batch(
                 {"image": hb["image"], "joints": hb["joints"],
                  "joints_vis": hb["joints_vis"]}, mesh)
-            batch = prep(raw["image"], raw["joints"], raw["joints_vis"], sub)
+            batch = prep(raw, sub)
             st, m = step(st, batch)
         accs.append(float(m["acc"]))
         losses.append(float(m["loss"]))

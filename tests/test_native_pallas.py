@@ -95,3 +95,23 @@ def test_pallas_decode_matches_jax():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(maxvals), np.asarray(ref_m),
                                atol=1e-6)
+
+
+def test_eval_path_pallas_oks_nms_parity():
+    """The production large-N NMS route (coco_eval._oks_nms_pallas:
+    Pallas OKS matrix + C++ greedy) must produce the reference keep list."""
+    from advmix_tpu.evaluation.coco_eval import _oks_nms_pallas
+    from advmix_tpu.ops.nms import oks_nms_np
+
+    rng = np.random.RandomState(11)
+    n, j = 130, 17  # above PALLAS_NMS_MIN_CANDIDATES, crosses a tile edge
+    base = rng.uniform(50, 150, (1, j, 2))
+    kpts = base + rng.randn(n, j, 2) * rng.uniform(1, 30, (n, 1, 1))
+    vis = rng.uniform(0, 1, (n, j, 1))
+    flat = np.concatenate([kpts, vis], -1).reshape(n, -1).astype(np.float64)
+    scores = rng.uniform(0.1, 1.0, n)
+    areas = rng.uniform(1000, 9000, n)
+
+    want = oks_nms_np(flat, scores, areas, 0.9)
+    got = _oks_nms_pallas(flat, scores, areas, 0.9, interpret=True)
+    assert got == want

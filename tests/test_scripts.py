@@ -1,0 +1,169 @@
+"""CI-style smoke of the shell scripts (reference surface:
+`/root/reference/scripts/{train,test,make_datasets}.sh`).
+
+Each script must run end-to-end on CPU against the synthetic config —
+VERDICT r1 found the shipped scripts pointed at nonexistent YAMLs and had
+never been executed. These subprocess tests are the gate against that.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMOKE_CFG = "experiments/synthetic/res18_64x64_smoke.yaml"
+
+
+def _run(script, extra, env_extra, cwd):
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    env.update(env_extra)
+    return subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", script)] + extra,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
+    )
+
+
+@pytest.mark.slow
+def test_train_then_test_scripts(tmp_path):
+    out_dir = str(tmp_path / "out")
+    log_dir = str(tmp_path / "log")
+    opts = ["OUTPUT_DIR", out_dir, "LOG_DIR", log_dir,
+            "TRAIN.END_EPOCH", "1"]
+
+    r = _run("train.sh", ["--num_devices", "2"] + opts,
+             {"CFG": SMOKE_CFG}, REPO)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    final = os.path.join(
+        out_dir, "synthetic", "pose_resnet", "res18_64x64_smoke",
+        "final_state",
+    )
+    assert os.path.isdir(final), (
+        f"train.sh did not export {final}; tree: "
+        f"{[p for p, _, _ in os.walk(out_dir)]}"
+    )
+
+    # test.sh: 1-corruption on-the-fly sweep against the exported weights.
+    # argparse flags go via $FLAGS (before the yacs opts; opts are
+    # REMAINDER); robust runs write under <OUTPUT_DIR>_robustness
+    r = _run(
+        "test.sh", opts,
+        {"CFG": SMOKE_CFG, "MODEL_FILE": final,
+         "FLAGS": "--num_devices 2 --on_the_fly "
+                  "--distortions gaussian_noise"}, REPO,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    csvs = []
+    for root, _, fs in os.walk(out_dir + "_robustness"):
+        csvs += [os.path.join(root, f) for f in fs if f.endswith(".csv")]
+    assert csvs, "test.sh produced no mPC/rPC csv"
+    with open(csvs[0]) as f:
+        header = f.readline()
+    assert "clean_" in header and "mean_corrupted_" in header
+
+
+@pytest.mark.slow
+def test_make_datasets_script(tmp_path):
+    import cv2
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    # two distinct resolutions that land in ONE padded size class
+    for i, (h, w) in enumerate([(40, 60), (37, 55)]):
+        cv2.imwrite(str(src / f"{i:012d}.jpg"),
+                    rng.randint(0, 255, (h, w, 3), np.uint8))
+    r = _run(
+        "make_datasets.sh",
+        ["--corruptions", "gaussian_noise", "--bucket_quantum", "64"],
+        {"COCO_ROOT": str(src), "MPII_ROOT": str(tmp_path / "absent"),
+         "OUT_ROOT": str(tmp_path)}, REPO,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    for sev in range(5):
+        d = tmp_path / "coco-C" / "gaussian_noise" / str(sev)
+        files = sorted(os.listdir(d))
+        assert files == ["000000000000.jpg", "000000000001.jpg"], files
+    # padded render then crop must preserve the original resolution
+    out = cv2.imread(str(tmp_path / "coco-C/gaussian_noise/0/000000000001.jpg"))
+    assert out.shape == (37, 55, 3)
+
+
+@pytest.mark.slow
+def test_bottomup_ochuman_corruption_sweep(tmp_path):
+    """End-to-end bottom-up corruption sweep (VERDICT r1 item #9):
+    tools/test_corruption.py on an OCHuman-format fixture produces the
+    mPC/rPC CSV through the bottom-up eval path."""
+    import json as jsonlib
+
+    import cv2
+
+    root = tmp_path / "ochuman"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val2017").mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(1, 4):
+        img = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+        cv2.imwrite(str(root / "val2017" / ("%012d.jpg" % i)), img)
+        images.append(dict(id=i, width=128, height=96))
+        kps = []
+        for _ in range(17):
+            kps += [float(rng.uniform(20, 110)), float(rng.uniform(20, 80)), 2]
+        annotations.append(
+            dict(id=i, image_id=i, category_id=1, keypoints=kps,
+                 num_keypoints=17, bbox=[10, 10, 110, 80], area=8800.0,
+                 iscrowd=0)
+        )
+    jsonlib.dump(
+        dict(images=images, annotations=annotations),
+        open(root / "annotations" / "person_keypoints_val2017.json", "w"),
+    )
+
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    # tiny HigherHRNet so CPU compile stays in seconds
+    r = subprocess.run(
+        [sys.executable, "tools/test_corruption.py",
+         "--cfg", "experiments/ochuman/higher_hrnet/w32_512_advmix.yaml",
+         "--exp_id", "ochuman_smoke",
+         "--num_devices", "2",
+         "--on_the_fly", "--distortions", "brightness",
+         "OUTPUT_DIR", out_dir, "LOG_DIR", str(tmp_path / "log"),
+         "DATASET.ROOT", str(root),
+         "MODEL.IMAGE_SIZE", "[64,64]", "MODEL.HEATMAP_SIZE", "[16,16]",
+         "TEST.BATCH_SIZE_PER_GPU", "2",
+         "MODEL.EXTRA.STAGE2.NUM_BLOCKS", "[1,1]",
+         "MODEL.EXTRA.STAGE3.NUM_BLOCKS", "[1,1,1]",
+         "MODEL.EXTRA.STAGE4.NUM_BLOCKS", "[1,1,1,1]",
+         "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+         "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+         "MODEL.EXTRA.STAGE2.NUM_CHANNELS", "[8,16]",
+         "MODEL.EXTRA.STAGE3.NUM_CHANNELS", "[8,16,32]",
+         "MODEL.EXTRA.STAGE4.NUM_CHANNELS", "[8,16,32,64]",
+         "MODEL.EXTRA.DECONV.NUM_CHANNELS", "[8]",
+         "TEST.MODEL_FILE", "none"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    csvs = []
+    for rt, _, fs in os.walk(out_dir + "_robustness"):
+        csvs += [os.path.join(rt, f) for f in fs if f.endswith(".csv")]
+    assert csvs, "bottom-up sweep produced no csv"
+    with open(csvs[0]) as f:
+        head = f.readline()
+        row = f.readline()
+    assert "brightness" in head and row.strip(), (head, row)

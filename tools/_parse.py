@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--load_from_D", type=str, default="")
     p.add_argument("--sample_times", type=int, default=1)
     p.add_argument("--adv_loss_weight", type=float, default=1)
+    # --combine_prob / --perturb_joint / --perturb_range are accepted but
+    # (like the reference, which parses and never reads them,
+    # tools/_init_parse.py:103-111) intentionally unused
     p.add_argument("--combine_prob", type=float, default=0.2)
     p.add_argument("--perturb_joint", type=float, default=0.2)
     p.add_argument("--perturb_range", type=int, default=5)
@@ -53,7 +56,8 @@ def parse_args(argv=None):
     p.add_argument("--gen_input_chn", type=int, default=9)
     p.add_argument("--downsamples", type=int, default=6)
 
-    # knowledge distillation
+    # knowledge distillation (--kd_klloss is accepted-but-unwired exactly
+    # like the reference: lib never branches on it)
     p.add_argument("--kd_mseloss", default=False, action="store_true")
     p.add_argument("--kd_klloss", default=False, action="store_true")
     p.add_argument("--alpha", type=float, default=0.1)

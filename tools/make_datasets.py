@@ -5,8 +5,13 @@ Behavioral reference: `tools/make_datasets.py` — for every val image, write
 corruption types at severities 1..5, seeded deterministically per render
 (:38-45). The reference abuses a torch DataLoader as a process pool
 (:21,53-56); here the corruptions themselves are batched jax programs
-(advmix_tpu/ops/corruptions.py) running on the TPU — images are bucketed by
-resolution so each bucket compiles once and streams through the chip.
+(advmix_tpu/ops/corruptions.py) running on the TPU.
+
+Images are padded (edge-replicate) up to a small set of size classes —
+each dimension rounds up to a multiple of --bucket_quantum — so the whole
+sweep compiles O(size classes) programs per (corruption, severity) instead
+of one per distinct resolution (COCO val has hundreds), and images are
+decoded lazily per chunk instead of held in RAM.
 
 Usage:
   python tools/make_datasets.py --dataset_root data/coco/val2017 \
@@ -41,6 +46,9 @@ def parse():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--limit", type=int, default=0,
                    help="only process the first N images (debug)")
+    p.add_argument("--bucket_quantum", type=int, default=160,
+                   help="pad each image dimension up to a multiple of this "
+                        "(bounds the number of compiled programs)")
     return p.parse_args()
 
 
@@ -67,17 +75,31 @@ def main():
         files = files[: args.limit]
     print(f"=> {len(files)} images, {len(names)} corruptions x 5 severities")
 
-    # bucket by resolution so each (shape, corruption, severity) compiles once
+    from PIL import Image
+
+    q = max(1, args.bucket_quantum)
+
+    def bucket_of(h, w):
+        return (-(-h // q) * q, -(-w // q) * q)
+
+    # Pass 1: header-only reads to assign size classes (no pixel decode).
     buckets = defaultdict(list)
     for f in files:
-        img = cv2.imread(os.path.join(args.dataset_root, f), cv2.IMREAD_COLOR)
-        if img is None:
+        try:
+            with Image.open(os.path.join(args.dataset_root, f)) as im:
+                w, h = im.size
+        except Exception:
             print(f"!! failed to read {f}")
             continue
-        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        buckets[rgb.shape].append((f, rgb))
+        buckets[bucket_of(h, w)].append(f)
+    print(f"=> {len(buckets)} size classes (quantum {q})")
 
     out_base = os.path.join(args.out_root, args.out_file)
+    for name in names:
+        for severity in range(1, 6):
+            os.makedirs(
+                os.path.join(out_base, name, str(severity - 1)), exist_ok=True
+            )
 
     compiled = {}
 
@@ -89,35 +111,48 @@ def main():
             )
         return compiled[sig](batch, key)
 
-    for shape, items in buckets.items():
-        arr = np.stack([im for _, im in items]).astype(np.float32)
-        for name in names:
-            for severity in range(1, 6):
-                outdir = os.path.join(out_base, name, str(severity - 1))
-                os.makedirs(outdir, exist_ok=True)
-                for start in range(0, len(items), args.batch):
-                    chunk = arr[start : start + args.batch]
-                    pad = 0
-                    if chunk.shape[0] < args.batch and len(items) > args.batch:
-                        pad = args.batch - chunk.shape[0]
-                        chunk = np.concatenate(
-                            [chunk, chunk[-1:].repeat(pad, 0)], axis=0
-                        )
+    # Pass 2: per bucket, decode one chunk at a time and run every
+    # (corruption, severity) on it before moving on — each chunk's pixels
+    # are read exactly once and RAM holds at most one padded chunk.
+    for (bh, bw), items in buckets.items():
+        for start in range(0, len(items), args.batch):
+            chunk_files = items[start : start + args.batch]
+            imgs, sizes = [], []
+            for fname in chunk_files:
+                img = cv2.imread(
+                    os.path.join(args.dataset_root, fname), cv2.IMREAD_COLOR
+                )
+                if img is None:
+                    print(f"!! failed to read {fname}")
+                    continue
+                rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                h, w = rgb.shape[:2]
+                sizes.append((fname, h, w))
+                # edge-replicate pad up to the size class; cropped back below
+                imgs.append(
+                    np.pad(rgb, ((0, bh - h), (0, bw - w), (0, 0)),
+                           mode="edge")
+                )
+            if not imgs:
+                continue
+            pad_n = args.batch - len(imgs) if len(items) > args.batch else 0
+            arr = np.stack(imgs + [imgs[-1]] * pad_n).astype(np.float32)
+            for name in names:
+                for severity in range(1, 6):
+                    outdir = os.path.join(out_base, name, str(severity - 1))
                     # deterministic per-render seed, mirroring the
                     # np.random.seed(1) before each corrupt call (:40)
                     key = jax.random.PRNGKey(1)
-                    out = np.asarray(apply(name, severity, jnp.asarray(chunk), key))
-                    if pad:
-                        out = out[: args.batch - pad]
+                    out = np.asarray(
+                        apply(name, severity, jnp.asarray(arr), key)
+                    )
                     out = np.clip(out, 0, 255).astype(np.uint8)
-                    for (fname, _), im in zip(
-                        items[start : start + args.batch], out
-                    ):
+                    for (fname, h, w), im in zip(sizes, out):
                         cv2.imwrite(
                             os.path.join(outdir, os.path.basename(fname)),
-                            cv2.cvtColor(im, cv2.COLOR_RGB2BGR),
+                            cv2.cvtColor(im[:h, :w], cv2.COLOR_RGB2BGR),
                         )
-            print(f"=> {name} done for bucket {shape}")
+        print(f"=> size class ({bh}, {bw}) done ({len(items)} images)")
     print(f"=> wrote corruption dataset under {out_base}")
 
 

@@ -122,7 +122,10 @@ def main(argv=None):
         if cfg.MODEL.INIT_WEIGHTS and os.path.isfile(cfg.MODEL.PRETRAINED):
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-            loaded = load_torch_checkpoint(cfg.MODEL.PRETRAINED, variables)
+            # PRETRAINED_LAYERS selective init (pose_hrnet.py:462-492)
+            layers = dict(cfg.MODEL.EXTRA).get("PRETRAINED_LAYERS")
+            loaded = load_torch_checkpoint(cfg.MODEL.PRETRAINED, variables,
+                                           pretrained_layers=layers)
             state = state.replace(
                 params=loaded["params"], batch_stats=loaded["batch_stats"]
             )
@@ -141,11 +144,13 @@ def main(argv=None):
     # datasets
     train_dataset = build_dataset(cfg, is_train=True)
     if args.stylize_image:
-        # union with the stylized copy (reference tools/train.py:145-163)
+        # union with the stylized copy (reference tools/train.py:145-163);
+        # style_tags feed the --sp_style augmentation exemptions
         from advmix_tpu.data.datasets import ConcatDataset, build_stylized_dataset
 
         train_dataset = ConcatDataset(
-            [train_dataset, build_stylized_dataset(cfg, is_train=True)]
+            [train_dataset, build_stylized_dataset(cfg, is_train=True)],
+            style_tags=[0.0, 1.0],
         )
     # MINI_COCO debug mode validates on the train set (tools/train.py:127-134)
     valid_dataset = build_dataset(
@@ -155,9 +160,15 @@ def main(argv=None):
     )
     batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
     test_batch = cfg.TEST.BATCH_SIZE_PER_GPU * n_dev
+    device_warp = bool(cfg.DATASET.DEVICE_WARP) and not bottomup
     train_loader = Loader(train_dataset, batch_size,
-                          shuffle=cfg.TRAIN.SHUFFLE, drop_last=True)
+                          shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
+                          raw_mode=device_warp,
+                          bucket_hw=tuple(cfg.DATASET.WARP_BUCKET))
     valid_loader = Loader(valid_dataset, test_batch, shuffle=False)
+    if device_warp:
+        logger.info("=> device-warp input pipeline (host decodes only; "
+                    f"bucket {tuple(cfg.DATASET.WARP_BUCKET)})")
     logger.info(
         f"=> {len(train_dataset)} train / {len(valid_dataset)} val samples"
     )
@@ -171,7 +182,9 @@ def main(argv=None):
     else:
         prep_train = trainer_lib.make_preprocessor(
             cfg, advmix=advmix, train=True,
-            random_corruption=args.random_corruption,
+            random_corruption=args.random_corruption, mesh=mesh,
+            sp_style=bool(args.sp_style and args.stylize_image),
+            device_warp=device_warp,
         )
         prep_eval = trainer_lib.make_eval_preprocessor(cfg)
         eval_step = steps.make_eval_step(

@@ -98,6 +98,10 @@ def make_preprocessor(cfg, advmix: bool, train: bool,
     heatmap_size = tuple(cfg.MODEL.HEATMAP_SIZE)
     sigma = float(cfg.MODEL.SIGMA)
     mean, std = IMAGENET_MEAN_STD
+    # synthesize the views at the training compute dtype: the AdvMix step
+    # is HBM-bound and bf16 halves the augment bytes (<= 1 uint8 LSB drift)
+    view_dtype = (jnp.bfloat16
+                  if str(cfg.TRAIN.DTYPE) == "bfloat16" else None)
 
     corrupt_fn = None
     if random_corruption and train:
@@ -122,7 +126,8 @@ def make_preprocessor(cfg, advmix: bool, train: bool,
         )
         if advmix:
             views = make_advmix_views(
-                img, key, style_mask=raw.get("is_style")
+                img, key, style_mask=raw.get("is_style"),
+                out_dtype=view_dtype, compute_dtype=view_dtype,
             )
             return {"views": views, "target": target, "target_weight": tw}
         norm = (img - mean) / std

@@ -46,6 +46,8 @@ class HigherHRNet(nn.Module):
     cat_output: Sequence[bool] = (True,)
     num_basic_blocks: int = 4
     dtype: Any = jnp.float32
+    use_scan: bool = False
+    remat: Any = "nested"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -55,6 +57,8 @@ class HigherHRNet(nn.Module):
             stage4_cfg=self.stage4_cfg,
             num_joints=self.num_joints,
             dtype=self.dtype,
+            use_scan=self.use_scan,
+            remat=self.remat,
             name="trunk",
         )(x, train)
 
@@ -107,4 +111,6 @@ def get_pose_net(cfg, dtype=jnp.float32) -> HigherHRNet:
         cat_output=tuple(deconv.get("CAT_OUTPUT", [True])),
         num_basic_blocks=extra.get("NUM_BASIC_BLOCKS", 4),
         dtype=dtype,
+        use_scan=bool(extra.get("USE_SCAN", False)),
+        remat=extra.get("REMAT", "nested"),
     )

@@ -26,7 +26,15 @@ BLOCK_EXPANSION = {"BASIC": 1, "BOTTLENECK": 4}
 BLOCK_CLS = {"BASIC": BasicBlock, "BOTTLENECK": Bottleneck}
 
 
-def _scan_blocks(cls, planes, n, name, dtype):
+def _remat_mode(remat) -> str:
+    if remat is True:
+        return "nested"
+    if remat is False:
+        return "none"
+    return str(remat)
+
+
+def _scan_blocks(cls, planes, n, name, dtype, remat=True):
     """Scan n identical (stride-1, no-downsample) residual blocks.
 
     Stacks the n blocks' params on a leading axis and runs them as one
@@ -43,13 +51,14 @@ def _scan_blocks(cls, planes, n, name, dtype):
             )(carry, train)
             return out, None
 
-    # remat here as well as at the module level: measured on v5e, the
-    # nested-remat recompute (275 img/s on the AdvMix-W32 bench) beats
-    # storing the block-scan activation stacks (217 img/s) — the stacked
-    # tensors carry up to 4x tile-padding and their HBM traffic costs more
-    # than recomputing the block forwards.
+    # remat trade-off on v5e (AdvMix-W32 bench): nested-remat recompute
+    # costs ~2 extra D forwards of HBM traffic per step; storing the scan
+    # activation stacks costs their write+read. REMAT=false wins when the
+    # batch fits HBM (the step is bandwidth-bound); MODEL.EXTRA.REMAT
+    # selects (default false).
+    body = nn.remat(Body, static_argnums=(2,)) if remat else Body
     scanned = nn.scan(
-        nn.remat(Body, static_argnums=(2,)),
+        body,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast,),
@@ -63,7 +72,8 @@ def _scan_blocks(cls, planes, n, name, dtype):
     return run
 
 
-def _scan_hr_modules(n, name, dtype, use_scan, **mod_kwargs):
+def _scan_hr_modules(n, name, dtype, use_scan, remat=True,
+                     block_remat="nested", **mod_kwargs):
     """Scan n identical HighResolutionModules (a whole stage prefix)."""
 
     class Body(nn.Module):
@@ -71,12 +81,13 @@ def _scan_hr_modules(n, name, dtype, use_scan, **mod_kwargs):
         def __call__(self, carry, train):
             out = HighResolutionModule(
                 prefix="mod", dtype=dtype, use_scan=use_scan, name="mod",
-                **mod_kwargs,
+                remat=block_remat, **mod_kwargs,
             )(list(carry), train)
             return tuple(out), None
 
+    body = nn.remat(Body, static_argnums=(2,)) if remat else Body
     scanned = nn.scan(
-        nn.remat(Body, static_argnums=(2,)),
+        body,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast,),
@@ -105,6 +116,7 @@ class HighResolutionModule(nn.Module):
     prefix: str = ""
     dtype: Any = jnp.float32
     use_scan: bool = False
+    remat: Any = "nested"
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
@@ -125,6 +137,7 @@ class HighResolutionModule(nn.Module):
                 x = _scan_blocks(
                     cls, self.num_channels[i], nb,
                     f"{p}_branches_{i}_scan", self.dtype,
+                    remat=_remat_mode(self.remat) in ("nested", "block"),
                 )(x, train)
             else:
                 for b in range(nb):
@@ -179,6 +192,13 @@ class PoseHighResolutionNet(nn.Module):
     final_conv_kernel: int = 1
     dtype: Any = jnp.float32
     use_scan: bool = False  # scan identical modules/blocks: ~4x smaller HLO
+    # MODEL.EXTRA.REMAT: which scan level rematerializes in the backward.
+    # "nested" (= True) remats BOTH the module scan and the block scans --
+    # lowest memory, ~2 extra forward recomputes of HBM traffic per
+    # backward. "module" remats only the module scan (1 recompute, tiny
+    # carry storage). "block" remats only block scans. "none" (= False)
+    # stores everything (OOMs at batch 128 on 16G v5e).
+    remat: Any = "nested"
 
     def _stem_and_stages(self, x, train: bool):
         x = x.astype(self.dtype)
@@ -224,6 +244,8 @@ class PoseHighResolutionNet(nn.Module):
             if self.use_scan and n_same > 1:
                 xs = _scan_hr_modules(
                     n_same, f"stage{si}_scan", self.dtype, True,
+                    remat=_remat_mode(self.remat) in ("nested", "module"),
+                    block_remat=self.remat,
                     multi_scale_output=True, **mod_kwargs,
                 )(xs, train)
                 start = n_same
@@ -234,6 +256,7 @@ class PoseHighResolutionNet(nn.Module):
                     prefix=f"stage{si}_{m}",
                     dtype=self.dtype,
                     use_scan=self.use_scan,
+                    remat=self.remat,
                     name=f"stage{si}_{m}",
                     **mod_kwargs,
                 )(xs, train)
@@ -303,4 +326,5 @@ def get_pose_net(cfg, dtype=jnp.float32) -> PoseHighResolutionNet:
         final_conv_kernel=extra.FINAL_CONV_KERNEL,
         dtype=dtype,
         use_scan=bool(extra.get("USE_SCAN", False)),
+        remat=extra.get("REMAT", "nested"),
     )

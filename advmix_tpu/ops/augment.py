@@ -52,24 +52,31 @@ def posterize(img: jnp.ndarray, bits) -> jnp.ndarray:
 
 
 def equalize(img: jnp.ndarray, hist_stride: int = 1,
-             chunk: int = 32) -> jnp.ndarray:
+             chunk: int = 64) -> jnp.ndarray:
     """PIL ImageOps.equalize, batched.
 
     PIL builds a per-channel LUT: step = (npixels - hist[last_nonzero]) // 255;
     lut[i] = (cumsum_before(i) + step // 2) // step.
 
     TPU formulation: per-pixel scatter (histogram) and gather (LUT apply)
-    are serial on TPU (~40ms each per stage at batch 32x256x192 — measured
-    half the AdvMix step); both are instead expressed as one-hot matmuls on
-    the MXU, chunked with lax.map. bf16 one-hot and LUT values (integers
-    <= 255) are exact; accumulation is f32.
+    are serial on TPU; both become MXU matmuls via a TWO-LEVEL 16x16
+    one-hot decomposition of the 8-bit value (v = 16*hi + lo):
+      histogram: hist.reshape(16,16) == oh_hi^T @ oh_lo
+      LUT apply: mapped = sum(oh_hi @ LUT.reshape(16,16) * oh_lo, -1)
+    The (HW, 16) one-hots carry 8x fewer bytes than a 256-wide one-hot —
+    the step is HBM-bound, and the old formulation was ~25 GB/step of the
+    AdvMix program's traffic. Everything stays bit-exact: one-hots and
+    LUT values (integers <= 255) are exact in bf16, accumulation is f32.
 
     hist_stride > 1 builds the LUT from a spatially-subsampled histogram —
     statistically indistinguishable for augmentation (the training path
     uses 2) but not PIL-bit-exact; keep 1 where exactness matters.
     """
     b, h, w, c = img.shape
-    q = jnp.clip(jnp.floor(img), 0, 255).astype(jnp.int32)  # (B,H,W,C)
+    # uint8 quantized pixels: the (B*C, HW) transposed copies are 4x
+    # smaller than int32 ("data formatting" was ~11 GB/step of the HBM-
+    # bound AdvMix program)
+    q = jnp.clip(jnp.floor(img), 0, 255).astype(jnp.uint8)  # (B,H,W,C)
     qs = q[:, ::hist_stride, ::hist_stride, :]
     n = float(qs.shape[1] * qs.shape[2])
     flat = q.transpose(0, 3, 1, 2).reshape(b * c, h * w)
@@ -79,8 +86,14 @@ def equalize(img: jnp.ndarray, hist_stride: int = 1,
     def body(args):
         # written per-row; lax.map's batch_size vmaps it over the chunk
         q_row, qs_row = args  # (HW,), (HWs,)
-        oh_s = jax.nn.one_hot(qs_row, 256, dtype=jnp.bfloat16)
-        hist = jnp.sum(oh_s.astype(jnp.float32), axis=0)  # (256,)
+        q_row = q_row.astype(jnp.int32)
+        qs_row = qs_row.astype(jnp.int32)
+        oh_hi_s = jax.nn.one_hot(qs_row // 16, 16, dtype=jnp.bfloat16)
+        oh_lo_s = jax.nn.one_hot(qs_row % 16, 16, dtype=jnp.bfloat16)
+        hist = jax.lax.dot_general(
+            oh_hi_s, oh_lo_s, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(256)  # hist[16*hi + lo]
 
         last_nz = jnp.argmax(jnp.where(hist > 0, idx, -1))
         hist_last = hist[last_nz]
@@ -94,17 +107,18 @@ def equalize(img: jnp.ndarray, hist_stride: int = 1,
         # identity where step == 0 (PIL keeps the channel unchanged)
         lut = jnp.where(step > 0, lut, idx.astype(jnp.float32))
 
-        oh = jax.nn.one_hot(q_row, 256, dtype=jnp.bfloat16)
-        mapped = jax.lax.dot_general(
-            oh,
-            lut.astype(jnp.bfloat16)[:, None],
+        oh_hi = jax.nn.one_hot(q_row // 16, 16, dtype=jnp.bfloat16)
+        oh_lo = jax.nn.one_hot(q_row % 16, 16, dtype=jnp.bfloat16)
+        rows = jax.lax.dot_general(
+            oh_hi, lut.reshape(16, 16).astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[:, 0]
+        )  # (HW, 16)
+        mapped = jnp.sum(rows * oh_lo.astype(jnp.float32), axis=1)
         return mapped
 
     mapped = jax.lax.map(body, (flat, flat_s), batch_size=chunk)
-    return mapped.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    return mapped.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(img.dtype)
 
 
 def _smooth_filter(img: jnp.ndarray) -> jnp.ndarray:
@@ -112,6 +126,7 @@ def _smooth_filter(img: jnp.ndarray) -> jnp.ndarray:
     interior; PIL leaves the 1px border unchanged."""
     k = jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
     kern = jnp.zeros((3, 3, 1, 1), jnp.float32).at[:, :, 0, 0].set(k)
+    kern = kern.astype(img.dtype)
     b, h, w, c = img.shape
     x = img.transpose(0, 3, 1, 2).reshape(b * c, h, w, 1)
     sm = jax.lax.conv_general_dilated(
@@ -129,7 +144,7 @@ def sharpness(img: jnp.ndarray, factor) -> jnp.ndarray:
     factor 0 -> fully smoothed, 1 -> original, >1 -> sharpened. PIL rounds
     the smoothed image to uint8 before blending."""
     sm = jnp.clip(jnp.round(_smooth_filter(img)), 0, 255)
-    f = factor if isinstance(factor, float) else factor
+    f = factor if isinstance(factor, float) else jnp.asarray(factor, img.dtype)
     out = sm + (img - sm) * f
     return jnp.clip(out, 0, 255)
 
@@ -216,7 +231,7 @@ def autoaugment(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     u1 = jax.random.uniform(k_p1, (b,))
     u2 = jax.random.uniform(k_p2, (b,))
     sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
-    sign = sign[:, None, None, None]
+    sign = sign[:, None, None, None].astype(img.dtype)
 
     probs = np.array([(p[0], p[3]) for p in _POLICIES])  # (P, 2)
 
@@ -291,6 +306,7 @@ def make_advmix_views(
     normalize_std=None,
     out_dtype=None,  # e.g. jnp.bfloat16: halves the (B,H,W,9) HBM traffic
     style_mask: jnp.ndarray | None = None,  # (B,) 1.0 where sample is styled
+    compute_dtype=None,  # bfloat16 runs the whole synthesis at half traffic
 ) -> jnp.ndarray:
     """Build the channel-concat (B, H, W, 9) [clean, autoaug, gridmask]
     views, each normalized like torchvision ToTensor+Normalize
@@ -298,7 +314,14 @@ def make_advmix_views(
 
     style_mask implements the --sp_style exemption (`advaug.py:182,192`):
     stylized samples skip AutoAugment and GridMask — their 3 views are all
-    the normalized stylized image."""
+    the normalized stylized image.
+
+    compute_dtype=bfloat16: the AdvMix step is HBM-bound; uint8-range pixel
+    values (integers <= 255) are exact in bf16, so the augment pipeline
+    loses at most 1 LSB (sharpness' fractional smoothing) while halving
+    its bytes."""
+    if compute_dtype is not None:
+        clean = clean.astype(compute_dtype)
     k_aa, k_gm = jax.random.split(key)
     aa = autoaugment(clean, k_aa)
 
@@ -309,7 +332,7 @@ def make_advmix_views(
         std = jnp.asarray(normalize_std, clean.dtype) * 255.0
 
     def norm(x):
-        return (x - mean) / std
+        return (x - mean.astype(x.dtype)) / std.astype(x.dtype)
 
     # GridMask runs on the *normalized* tensor in the reference
     # (advaug.py:190-202: transform first, then grid_aug), so masked pixels

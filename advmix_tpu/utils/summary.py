@@ -40,6 +40,23 @@ def model_summary(model, variables, sample_input, train: bool = False) -> dict:
     }
 
 
+def per_layer_summary(model, sample_input, train: bool = False,
+                      depth: int = 3) -> str:
+    """Per-layer params/FLOPs table (reference `get_model_summary`,
+    lib/utils/utils.py:110-242, emitted per layer via forward hooks).
+    flax.linen.tabulate computes the same columns from the jaxpr."""
+    import flax.linen as nn
+
+    try:
+        return nn.tabulate(
+            model, jax.random.PRNGKey(0),
+            compute_flops=True, depth=depth,
+            console_kwargs={"width": 120},
+        )(sample_input, train=train)
+    except Exception as e:  # cost analysis is best-effort on exotic modules
+        return f"(per-layer summary unavailable: {e})"
+
+
 def format_summary(info: dict, name: str = "model") -> str:
     lines = [f"=> {name} summary"]
     lines.append(f"   params: {info['params'] / 1e6:.2f}M")

@@ -106,7 +106,8 @@ def main():
 
     @functools.partial(jax.jit, donate_argnums=0)
     def full_step(st, raw, key):
-        views = make_advmix_views(raw["clean"], key, out_dtype=dtype)
+        views = make_advmix_views(raw["clean"], key, out_dtype=dtype,
+                                  compute_dtype=dtype)
         batch = {
             "views": views,
             "target": raw["target"],

@@ -336,3 +336,49 @@ def test_resnet_scan_equivalence():
     out_scan = scan.apply(v_scan, x, train=False)
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_plain),
                                atol=1e-5)
+
+
+def test_hrnet_remat_modes_identical():
+    """MODEL.EXTRA.REMAT levels ("nested"/"module"/"block"/"none") are pure
+    memory/traffic trade-offs — forwards and gradients must be identical."""
+    import jax
+
+    from advmix_tpu.models.pose_hrnet import PoseHighResolutionNet
+
+    stages = dict(
+        stage2_cfg=dict(NUM_MODULES=1, NUM_BRANCHES=2, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2], NUM_CHANNELS=[8, 16],
+                        FUSE_METHOD="SUM"),
+        stage3_cfg=dict(NUM_MODULES=2, NUM_BRANCHES=3, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2, 2], NUM_CHANNELS=[8, 16, 32],
+                        FUSE_METHOD="SUM"),
+        stage4_cfg=dict(NUM_MODULES=1, NUM_BRANCHES=4, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2, 2, 2],
+                        NUM_CHANNELS=[8, 16, 32, 64], FUSE_METHOD="SUM"),
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3)
+                    .astype(np.float32))
+    ref_out = ref_grad = None
+    v = None
+    for mode in ("nested", "module", "block", "none", True, False):
+        m = PoseHighResolutionNet(num_joints=4, use_scan=True, remat=mode,
+                                  **stages)
+        if v is None:
+            v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+
+        def loss(p):
+            return m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=False,
+            ).sum()
+
+        g = jax.grad(loss)(v["params"])
+        gleaf = np.asarray(jax.tree.leaves(g)[0])
+        if ref_out is None:
+            ref_out, ref_grad = np.asarray(out), gleaf
+        else:
+            np.testing.assert_array_equal(np.asarray(out), ref_out)
+            # remat reorders backward float ops -> ~1 ULP reassociation
+            np.testing.assert_allclose(gleaf, ref_grad, rtol=1e-5,
+                                       atol=1e-12)

@@ -48,7 +48,9 @@ def main(argv=None):
     from advmix_tpu.parallel import get_mesh
     from advmix_tpu.parallel.mesh import replicate
     from advmix_tpu.utils.logging import create_logger, get_tb_writer
-    from advmix_tpu.utils.summary import model_summary, format_summary
+    from advmix_tpu.utils.summary import (
+        model_summary, format_summary, per_layer_summary,
+    )
 
     cfg = get_default_config()
     update_config(cfg, args)
@@ -140,6 +142,8 @@ def main(argv=None):
             "batch_stats": state.batch_stats_d if advmix else state.batch_stats}
     logger.info(format_summary(model_summary(model, var0, sample),
                                cfg.MODEL.NAME))
+    # per-layer params/FLOPs table (reference tools/train.py:102)
+    logger.info("\n" + per_layer_summary(model, sample))
 
     # datasets
     train_dataset = build_dataset(cfg, is_train=True)

@@ -286,3 +286,69 @@ def test_oks_iou_in_vis_thre_quirk_parity(ref):
     got = oks_iou_np(kpts[0], kpts[1:], areas[0], areas[1:],
                      None, in_vis_thre=0.4)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_generate_target_parity(ref):
+    """Heatmap target generation vs the reference's actual
+    JointsDataset.generate_target (quantize-paste semantics incl. the
+    int-cast of mu and out-of-bounds weight zeroing,
+    JointsDataset.py:412-491). The module needs imagecorruptions/
+    json_tricks stubs (not installed; unused by generate_target)."""
+    import importlib
+
+    from advmix_tpu.ops.heatmap import generate_target
+
+    for name, attrs in (("json_tricks", ["load", "dump"]),
+                        ("imagecorruptions", ["corrupt",
+                                              "get_corruption_names"]),
+                        ("pycocotools", []),
+                        ("pycocotools.coco", ["COCO"]),
+                        ("pycocotools.cocoeval", ["COCOeval"])):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            for a in attrs:
+                setattr(stub, a, None)
+            sys.modules[name] = stub
+    sys.path.insert(0, REF_LIB)
+    try:
+        jd_mod = importlib.import_module("dataset.JointsDataset")
+    finally:
+        sys.path.remove(REF_LIB)
+
+    num_joints, sigma = 17, 2
+    image_size = np.array([192, 256])
+    heatmap_size = np.array([48, 64])
+
+    jd = jd_mod.JointsDataset.__new__(jd_mod.JointsDataset)
+    jd.num_joints = num_joints
+    jd.target_type = "gaussian"
+    jd.sigma = sigma
+    jd.image_size = image_size
+    jd.heatmap_size = heatmap_size
+    jd.use_different_joints_weight = False
+    jd.joints_weight = np.ones((num_joints, 1), np.float32)
+
+    rng = np.random.RandomState(8)
+    b = 6
+    joints = np.zeros((b, num_joints, 3), np.float32)
+    # in-bounds, near-edge, and far out-of-bounds joints
+    joints[:, :, 0] = rng.uniform(-40, 240, (b, num_joints))
+    joints[:, :, 1] = rng.uniform(-40, 300, (b, num_joints))
+    vis = (rng.rand(b, num_joints, 3) > 0.2).astype(np.float32)
+    vis[:, :, 1:] = vis[:, :, :1]
+
+    got_t, _, got_w = generate_target(
+        joints[:, :, :2], vis[:, :, 0], (192, 256), (48, 64), sigma
+    )
+    got_t = np.asarray(got_t)  # (B, Hh, Hw, J)
+    got_w = np.asarray(got_w)
+
+    for i in range(b):
+        out = jd.generate_target(joints[i], vis[i])
+        want_t = out[0][0] if isinstance(out[0], list) else out[0]
+        want_w = out[1]
+        np.testing.assert_allclose(
+            got_t[i].transpose(2, 0, 1), want_t, atol=1e-6,
+            err_msg=f"sample {i}",
+        )
+        np.testing.assert_allclose(got_w[i], want_w[:, 0], atol=0)

@@ -31,16 +31,26 @@ class Loader:
         prefetch: int = 2,
         raw_mode: bool = False,
         bucket_hw=(640, 640),
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
         """raw_mode: produce get_raw_sample batches (padded source images +
         crop matrices) for the on-device warp pipeline instead of host
-        cv2-warped crops."""
+        cv2-warped crops.
+
+        num_shards/shard_index: multi-host data sharding. Every process
+        computes the SAME global batch order (seeded shuffle), then keeps
+        its contiguous slice of each batch — `batch_size` is the
+        PER-PROCESS size; device_put_batch assembles the global array via
+        make_array_from_process_local_data."""
         if num_threads is None:
             import os
 
             num_threads = max(2, min(8, os.cpu_count() or 2))
         self.raw_mode = raw_mode
         self.bucket_hw = tuple(bucket_hw)
+        self.num_shards = max(1, num_shards)
+        self.shard_index = shard_index
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,9 +62,10 @@ class Loader:
 
     def __len__(self):
         n = len(self.dataset)
+        gbs = self.batch_size * self.num_shards
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // gbs
+        return (n + gbs - 1) // gbs
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -92,12 +103,22 @@ class Loader:
     def __iter__(self) -> Iterator[dict]:
         indices = self._indices()
         n = len(indices)
+        gbs = self.batch_size * self.num_shards
         batches = []
-        for start in range(0, n, self.batch_size):
-            chunk = indices[start : start + self.batch_size]
-            if len(chunk) < self.batch_size and self.drop_last:
+        for start in range(0, n, gbs):
+            chunk = indices[start : start + gbs]
+            if len(chunk) < gbs and self.drop_last:
                 continue
-            batches.append(chunk)
+            # this process's contiguous slice of the global batch
+            chunk = chunk[self.shard_index * self.batch_size
+                          : (self.shard_index + 1) * self.batch_size]
+            if len(chunk) == 0:
+                # keep step counts aligned across processes: repeat the
+                # last available index as padding (marked _n == 0)
+                chunk = indices[start : start + 1]
+                batches.append((chunk, 0))
+                continue
+            batches.append((chunk, len(chunk)))
 
         sample_rng_base = self.seed * 100003 + self.epoch
 
@@ -118,8 +139,8 @@ class Loader:
             return b
 
         if self.num_threads <= 1:
-            for bidx in batches:
-                yield assemble([one(i) for i in bidx], len(bidx))
+            for bidx, real in batches:
+                yield assemble([one(i) for i in bidx], real)
             return
 
         # N-thread pool: per-sample futures, `prefetch + 1` batches in
@@ -129,16 +150,16 @@ class Loader:
             inflight: deque = deque()
             bi = 0
             while bi < len(batches) and len(inflight) < window:
-                bidx = batches[bi]
-                inflight.append(([ex.submit(one, i) for i in bidx], len(bidx)))
+                bidx, real = batches[bi]
+                inflight.append(([ex.submit(one, i) for i in bidx], real))
                 bi += 1
             while inflight:
                 futs, real = inflight.popleft()
                 batch = assemble(futs, real)
                 if bi < len(batches):
-                    bidx = batches[bi]
+                    bidx, real = batches[bi]
                     inflight.append(
-                        ([ex.submit(one, i) for i in bidx], len(bidx))
+                        ([ex.submit(one, i) for i in bidx], real)
                     )
                     bi += 1
                 yield batch

@@ -34,8 +34,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def device_put_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Shard every leaf of a batch pytree along its leading axis."""
+    """Shard every leaf of a batch pytree along its leading axis.
+
+    Single-process: a plain device_put against the batch sharding.
+    Multi-host (jax.process_count() > 1): each process holds its LOCAL
+    slice of the global batch (Loader(num_shards=process_count,
+    shard_index=process_index)); leaves assemble into global arrays via
+    jax.make_array_from_process_local_data (SURVEY §5 distributed-comm
+    note). Data stays on the local hosts' chips; no DCN transfer."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

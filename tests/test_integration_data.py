@@ -343,3 +343,47 @@ def test_device_warp_loader_end_to_end(coco_root):
     diff = np.abs(np.asarray(a["image"]) - np.asarray(b["image"]))
     # normalized units; cv2 fixed-point vs float bilinear
     assert np.median(diff) < 0.02, np.median(diff)
+
+
+def test_loader_process_sharding():
+    """Multi-host sharding: every process computes the same global batch
+    order; shard_index keeps a contiguous per-process slice; shards
+    partition each global batch exactly; step counts stay aligned (empty
+    tail shards yield _n == 0 padding)."""
+    from advmix_tpu.data import Loader
+    from advmix_tpu.data.datasets import SyntheticPoseDataset
+    from advmix_tpu.config import get_default_config
+
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.MODEL.IMAGE_SIZE = [32, 32]
+    cfg.MODEL.HEATMAP_SIZE = [8, 8]
+    cfg.MODEL.NUM_JOINTS = 4
+    cfg.DATASET.DATASET = "synthetic"
+    cfg.freeze()
+    ds = SyntheticPoseDataset(cfg, is_train=True, length=22)
+
+    def run(num_shards, shard_index, drop_last):
+        loader = Loader(ds, 4, shuffle=True, seed=5, drop_last=drop_last,
+                        num_threads=1, num_shards=num_shards,
+                        shard_index=shard_index)
+        loader.set_epoch(1)
+        return list(loader)
+
+    whole = run(1, 0, False)
+    s0 = run(2, 0, False)
+    s1 = run(2, 1, False)
+    assert len(s0) == len(s1)  # aligned step counts
+    # shard batches partition the global order: global batch g of size 8
+    # = s0[g] (first 4) + s1[g] (next 4)
+    g0 = run_global = Loader(ds, 8, shuffle=True, seed=5, num_threads=1)
+    run_global.set_epoch(1)
+    for g, (a, b) in zip(run_global, zip(s0, s1)):
+        na, nb = a["_n"], b["_n"]
+        assert g["_n"] == na + nb
+        np.testing.assert_array_equal(g["image"][:na], a["image"][:na])
+        np.testing.assert_array_equal(g["image"][4:4 + nb], b["image"][:nb])
+
+    # drop_last drops incomplete GLOBAL batches
+    d0 = run(2, 0, True)
+    assert len(d0) == 22 // 8

@@ -162,13 +162,23 @@ def main(argv=None):
         is_train=False,
         image_set=cfg.DATASET.TRAIN_SET if cfg.DATASET.MINI_COCO else None,
     )
-    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
-    test_batch = cfg.TEST.BATCH_SIZE_PER_GPU * n_dev
+    # multi-host: each process loads its local slice of the global batch
+    # (Loader shards; parallel.device_put_batch assembles via
+    # make_array_from_process_local_data)
+    n_proc = jax.process_count()
+    local_dev = max(1, n_dev // n_proc)
+    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * local_dev
+    test_batch = cfg.TEST.BATCH_SIZE_PER_GPU * local_dev
+    shard_kw = dict(num_shards=n_proc, shard_index=jax.process_index())
     device_warp = bool(cfg.DATASET.DEVICE_WARP) and not bottomup
     train_loader = Loader(train_dataset, batch_size,
                           shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
                           raw_mode=device_warp,
-                          bucket_hw=tuple(cfg.DATASET.WARP_BUCKET))
+                          bucket_hw=tuple(cfg.DATASET.WARP_BUCKET),
+                          **shard_kw)
+    # eval stays unsharded: validate() accumulates (N, J, 3) host-side and
+    # runs COCOeval/PCKh per process; sharding it would need a cross-host
+    # gather of predictions
     valid_loader = Loader(valid_dataset, test_batch, shuffle=False)
     if device_warp:
         logger.info("=> device-warp input pipeline (host decodes only; "

@@ -352,3 +352,74 @@ def test_generate_target_parity(ref):
             err_msg=f"sample {i}",
         )
         np.testing.assert_allclose(got_w[i], want_w[:, 0], atol=0)
+
+
+def test_eval_chain_parity(ref):
+    """The COMPOSED eval math (flip test -> reference flip_back ->
+    SHIFT_HEATMAP -> average -> get_final_preds) of our jitted eval step
+    vs the reference functions applied to the same model outputs
+    (lib/core/function.py:241-261 + inference.py:52-95)."""
+    import jax
+    import jax.numpy as jnp
+
+    from advmix_tpu.config import load_config
+    from advmix_tpu.engine import steps
+    from advmix_tpu.models.pose_resnet import PoseResNet
+    from advmix_tpu.parallel import get_mesh, device_put_batch
+    from advmix_tpu.parallel.mesh import replicate
+
+    cfg = load_config()
+    cfg.defrost()
+    cfg.MODEL.IMAGE_SIZE = [32, 32]
+    cfg.MODEL.HEATMAP_SIZE = [8, 8]
+    cfg.MODEL.NUM_JOINTS = 6
+    cfg.TEST.FLIP_TEST = True
+    cfg.TEST.POST_PROCESS = True
+    cfg.TEST.SHIFT_HEATMAP = True
+    cfg.freeze()
+    mesh = get_mesh()
+    model = PoseResNet(num_layers=18, num_joints=6,
+                       num_deconv_filters=(16, 16, 16))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                   train=False)
+    flip_pairs = [[0, 1], [2, 3]]
+    eval_step = steps.make_eval_step(model, cfg, flip_pairs, mesh)
+
+    rng = np.random.RandomState(12)
+    b = mesh.devices.size * 2
+    img = rng.randn(b, 32, 32, 3).astype(np.float32)
+    center = rng.uniform(40, 80, (b, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.2, (b, 2)).astype(np.float32)
+    batch = device_put_batch(
+        {"image": jnp.asarray(img),
+         "target": jnp.asarray(rng.rand(b, 8, 8, 6).astype(np.float32)),
+         "target_weight": jnp.ones((b, 6), jnp.float32),
+         "center": jnp.asarray(center), "scale": jnp.asarray(scale)},
+        mesh,
+    )
+    preds, maxvals, _ = eval_step(
+        replicate(v["params"], mesh),
+        replicate(v.get("batch_stats", {}), mesh), batch,
+    )
+    preds, maxvals = np.asarray(preds), np.asarray(maxvals)
+
+    # reference-side replication on the SAME heatmaps (NCHW numpy)
+    out = np.asarray(model.apply(v, jnp.asarray(img), train=False))
+    out_f = np.asarray(
+        model.apply(v, jnp.asarray(img[:, :, ::-1, :]), train=False)
+    )
+    hm = out.transpose(0, 3, 1, 2)
+    hm_f = ref.transforms.flip_back(
+        np.ascontiguousarray(out_f.transpose(0, 3, 1, 2)), flip_pairs
+    )
+    hm_f[:, :, :, 1:] = hm_f[:, :, :, 0:-1]  # SHIFT_HEATMAP (:258-260)
+    avg = (hm + hm_f) * 0.5
+    rcfg = SimpleNamespace(
+        TEST=SimpleNamespace(POST_PROCESS=True),
+        MODEL=SimpleNamespace(IMAGE_SIZE=[32, 32]),
+    )
+    want_p, want_v = ref.inference.get_final_preds(
+        rcfg, None, avg.astype(np.float32), center, scale
+    )
+    np.testing.assert_allclose(preds, want_p, atol=5e-3)
+    np.testing.assert_allclose(maxvals[..., 0], want_v[..., 0], atol=1e-4)

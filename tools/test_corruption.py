@@ -124,6 +124,20 @@ def main(argv=None):
 
         return prep
 
+    # build the eval step ONCE: it is identical across the whole sweep, and
+    # rebuilding it per corruption would re-jit 76+ times (SURVEY §7 hard
+    # part 6: the 96-pass sweep must not re-trace)
+    bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
+    _first_ds = build_dataset(cfg, is_train=False)
+    if bottomup:
+        eval_step = steps.make_bottomup_eval_step(
+            model, cfg, _first_ds.flip_pairs, mesh
+        )
+    else:
+        eval_step = steps.make_eval_step(
+            model, cfg, _first_ds.flip_pairs, mesh
+        )
+
     def run_one(corruption: str, severity0: int):
         """severity0 is the 0-based loop index; files/dirs use it directly
         (the reference stores severities as 0..4 on disk) while on-the-fly
@@ -141,16 +155,12 @@ def main(argv=None):
             dataset, cfg.TEST.BATCH_SIZE_PER_GPU * mesh.devices.size,
             shuffle=False,
         )
-        bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
         cfg.defrost()
         cfg.TEST.TEST_ROBUST = True
         cfg.freeze()
         if bottomup:
             # proper bottom-up sweep (the reference only had a vestigial
             # cfg.model.type == 'BottomUp' branch, SURVEY §2 row 2)
-            eval_step = steps.make_bottomup_eval_step(
-                model, cfg, dataset.flip_pairs, mesh
-            )
             name_values, perf = trainer_lib.validate_bottomup(
                 cfg, eval_step, params, stats, dataset, loader, mesh,
                 output_dir,
@@ -159,9 +169,6 @@ def main(argv=None):
             )
         else:
             prep = make_prep(corruption, severity0 + 1)
-            eval_step = steps.make_eval_step(
-                model, cfg, dataset.flip_pairs, mesh
-            )
             name_values, perf = trainer_lib.validate(
                 cfg, eval_step, prep, params, stats, dataset, loader, mesh,
                 output_dir,

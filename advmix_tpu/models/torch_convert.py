@@ -295,3 +295,58 @@ def stack_for_scan(unscanned: dict, scanned_template: dict) -> dict:
         assert stacked.shape == tmpl_shape, (path, stacked.shape, tmpl_shape)
         new_flat[path] = stacked
     return _unflatten(new_flat)
+
+
+# ---------------------------------------------------------------------------
+# UNet generator (recursive torch naming -> flattened encoder/decoder)
+# ---------------------------------------------------------------------------
+
+def torch_unet_key(depth: int, kind: str, num_downs: int = 6) -> str:
+    """Key prefix of the reference UnetGenerator's conv at `depth`
+    (0 = outermost). The recursive construction
+    (`lib/models/Unet_generator.py:85-109`) yields:
+      depth 0: down = model.model.0, up = model.model.3
+      depth d: prefix model.model.1.(model.3.)^(d-1) + model.1 (down) /
+               model.5 (up; model.3 at the innermost block)."""
+    if depth == 0:
+        return "model.model.0" if kind == "down" else "model.model.3"
+    prefix = "model.model.1." + "model.3." * (depth - 1)
+    if kind == "down":
+        return prefix + "model.1"
+    return prefix + ("model.3" if depth == num_downs - 1 else "model.5")
+
+
+def torch_unet_to_flax(state_dict, variables: dict,
+                       num_downs: int = 6) -> dict:
+    """Convert a reference UnetGenerator checkpoint into our flattened
+    UnetGenerator variables (models/unet.py down_i_conv / up_i_conv).
+    InstanceNorm carries no parameters (affine=False), so the 12 convs
+    (weight+bias) are the whole state."""
+    state_dict = strip_module_prefix(state_dict)
+    flat = _flatten(variables["params"])
+    new = dict(flat)
+    for d in range(num_downs):
+        for kind, mod in (("down", f"down_{d}_conv"),
+                          ("up", f"up_{d}_conv")):
+            base = torch_unet_key(d, kind, num_downs)
+            w = state_dict[base + ".weight"]
+            b = state_dict[base + ".bias"]
+            w = np.asarray(w.detach().cpu().numpy()
+                           if hasattr(w, "detach") else w)
+            b = np.asarray(b.detach().cpu().numpy()
+                           if hasattr(b, "detach") else b)
+            # Conv OIHW and ConvTranspose IOHW both land on our layouts
+            # with one permutation (see torch_to_flax_variables)
+            w = np.transpose(w, (2, 3, 1, 0))
+            kpath, bpath = (mod, "kernel"), (mod, "bias")
+            if kpath not in flat:
+                raise KeyError(f"flax UNet missing {kpath}")
+            if w.shape != np.asarray(flat[kpath]).shape:
+                raise ValueError(
+                    f"{base}.weight {w.shape} != {np.asarray(flat[kpath]).shape}"
+                )
+            new[kpath] = w.astype(np.asarray(flat[kpath]).dtype)
+            new[bpath] = b.astype(np.asarray(flat[bpath]).dtype)
+    out = dict(variables)
+    out["params"] = _unflatten(new)
+    return out

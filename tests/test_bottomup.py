@@ -318,3 +318,45 @@ def test_ochuman_dataset_alias(tmp_path):
     s = ds.get_sample(0, np.random.RandomState(0))
     assert s["image"].shape == (64, 64, 3)
     assert s["joints"].shape[1] == 17  # (M, J, 2) -> J dim check
+
+
+def test_higher_hrnet_use_scan_equivalent():
+    """USE_SCAN/REMAT plumb through the HigherHRNet trunk; scanned and
+    unrolled construction must agree after stack_for_scan restacking."""
+    import jax
+
+    from advmix_tpu.models.higher_hrnet import HigherHRNet
+    from advmix_tpu.models import torch_convert as TC
+
+    stages = dict(
+        stage2_cfg=dict(NUM_MODULES=1, NUM_BRANCHES=2, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2], NUM_CHANNELS=[8, 16],
+                        FUSE_METHOD="SUM"),
+        stage3_cfg=dict(NUM_MODULES=2, NUM_BRANCHES=3, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2, 2], NUM_CHANNELS=[8, 16, 32],
+                        FUSE_METHOD="SUM"),
+        stage4_cfg=dict(NUM_MODULES=1, NUM_BRANCHES=4, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2, 2, 2],
+                        NUM_CHANNELS=[8, 16, 32, 64], FUSE_METHOD="SUM"),
+    )
+    kw = dict(num_joints=4, num_deconv_filters=(8,), num_basic_blocks=1,
+              **stages)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3)
+                    .astype(np.float32))
+    plain = HigherHRNet(**kw)
+    v = plain.init(jax.random.PRNGKey(0), x, train=False)
+    outs = plain.apply(v, x, train=False)
+
+    scan = HigherHRNet(use_scan=True, **kw)
+    vs_t = scan.init(jax.random.PRNGKey(0), x, train=False)
+    vs = {
+        "params": TC.stack_for_scan(
+            jax.tree.map(np.asarray, v["params"]), vs_t["params"]),
+        "batch_stats": TC.stack_for_scan(
+            jax.tree.map(np.asarray, v["batch_stats"]),
+            vs_t["batch_stats"]),
+    }
+    outs_s = scan.apply(vs, x, train=False)
+    assert len(outs) == len(outs_s) == 2
+    for a, b in zip(outs, outs_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

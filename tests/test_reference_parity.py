@@ -423,3 +423,42 @@ def test_eval_chain_parity(ref):
     )
     np.testing.assert_allclose(preds, want_p, atol=5e-3)
     np.testing.assert_allclose(maxvals[..., 0], want_v[..., 0], atol=1e-4)
+
+
+def test_unet_generator_forward_parity(ref):
+    """Full forward parity of the AdvMix generator: the reference
+    UnetGenerator(9, 3, 6) (recursive blocks, InstanceNorm, LeakyReLU 0.2,
+    with_tanh=False — exactly `tools/train.py:67`'s instantiation) vs our
+    flattened flax UnetGenerator fed the converted weights
+    (torch_convert.torch_unet_to_flax)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from advmix_tpu.models import get_generator
+    from advmix_tpu.models.torch_convert import torch_unet_to_flax
+
+    sys.path.insert(0, REF_LIB)
+    try:
+        ug = importlib.import_module("models.Unet_generator")
+    finally:
+        sys.path.remove(REF_LIB)
+
+    torch.manual_seed(0)
+    tg = ug.UnetGenerator(input_nc=9, output_nc=3, num_downs=6).eval()
+    for m in tg.modules():
+        if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d)):
+            torch.nn.init.normal_(m.weight, std=0.05)
+            if m.bias is not None:
+                torch.nn.init.normal_(m.bias, std=0.02)
+
+    g = get_generator()
+    x = torch.randn(2, 9, 64, 64)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    v = g.init(jax.random.PRNGKey(0), xj)
+    v2 = torch_unet_to_flax(tg.state_dict(), dict(v), num_downs=6)
+    out = np.asarray(g.apply(v2, xj)).transpose(0, 3, 1, 2)
+    want = tg(x).detach().numpy()
+    np.testing.assert_allclose(out, want, atol=5e-4)

@@ -1,0 +1,165 @@
+"""Step profiler CLI: capture a jax.profiler trace of the training step and
+print the device-time / HBM-bytes breakdown per HLO category.
+
+The TPU-native replacement for the reference's hook-based profiler
+(`get_model_summary`, lib/utils/utils.py:110-242) at whole-program scope:
+on a bandwidth-bound program (see PERF.md) the bytes column is the one
+that predicts throughput.
+
+Usage:
+  python tools/profile.py --cfg experiments/synthetic/res18_64x64_smoke.yaml \
+      [--advmix --sample_times 3] [--profile_steps 5] [--trace_dir DIR]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+if os.environ.get("ADVMIX_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["ADVMIX_PLATFORM"])
+
+from _parse import parse_args  # noqa: E402
+
+
+def analyze_trace(trace_dir: str, n_steps: int) -> list:
+    """Sum device events by hlo_category from the newest trace dump."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/", "*.trace.json.gz")
+    ))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+
+    cat_t = collections.Counter()
+    cat_b = collections.Counter()
+    for e in data["traceEvents"]:
+        if e.get("ph") != "X":
+            continue
+        a = e.get("args", {})
+        c = a.get("hlo_category")
+        if c is None or c == "while":  # containers nest their children
+            continue
+        cat_t[c] += e["dur"]
+        cat_b[c] += int(a.get("bytes_accessed", 0))
+    if not cat_t:
+        print("(no per-op device events in the trace — the hlo_category "
+              "breakdown needs a TPU backend; CPU traces carry host "
+              "events only)")
+    rows = [
+        (c, cat_t[c] / n_steps / 1e3, cat_b[c] / n_steps / 1e9)
+        for c in cat_t
+    ]
+    rows.sort(key=lambda r: -r[1])
+    return rows
+
+
+def main(argv=None):
+    import argparse
+
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--profile_steps", type=int, default=5)
+    extra.add_argument("--trace_dir", type=str, default="/tmp/advmix_trace")
+    extra_args, rest = extra.parse_known_args(argv)
+    args = parse_args(rest)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advmix_tpu.config import get_default_config, update_config
+    from advmix_tpu import models
+    from advmix_tpu.engine import optim, state as state_lib, steps
+    from advmix_tpu.engine import trainer as trainer_lib
+    from advmix_tpu.parallel import get_mesh, device_put_batch
+    from advmix_tpu.parallel.mesh import replicate
+
+    cfg = get_default_config()
+    update_config(cfg, args)
+
+    mesh = get_mesh(args.num_devices or None)
+    n_dev = mesh.devices.size
+    dtype = (jnp.bfloat16
+             if (args.dtype or cfg.TRAIN.DTYPE) == "bfloat16"
+             else jnp.float32)
+    advmix = bool(args.advmix) and args.sample_times > 1
+
+    model = models.get_pose_net(cfg, dtype=dtype)
+    w, h = cfg.MODEL.IMAGE_SIZE
+    sample = jnp.zeros((2, h, w, 3), jnp.float32)
+    tx = optim.get_optimizer(cfg)
+    rng = jax.random.PRNGKey(0)
+    if advmix:
+        model_g = models.get_generator(args, dtype=dtype)
+        tx_g = optim.get_generator_optimizer(cfg)
+        st = state_lib.create_advmix_state(
+            model, model_g, tx, tx_g, rng, sample,
+            gen_input_chn=args.gen_input_chn,
+        )
+        step_fn = steps.make_advmix_step(
+            model, model_g, tx, tx_g, cfg, mesh,
+            alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
+        )
+    else:
+        st = state_lib.create_pose_state(model, tx, rng, sample)
+        step_fn = steps.make_train_step(model, tx, cfg, mesh)
+    st = replicate(st, mesh)
+
+    prep = trainer_lib.make_preprocessor(cfg, advmix=advmix, train=True,
+                                         mesh=mesh)
+    bs = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
+    rs = np.random.RandomState(0)
+    raw = device_put_batch(
+        {
+            "image": jnp.asarray(
+                rs.randint(0, 256, (bs, h, w, 3)).astype(np.float32)),
+            "joints": jnp.asarray(
+                rs.uniform(0, min(h, w) - 2, (bs, cfg.MODEL.NUM_JOINTS, 2))
+                .astype(np.float32)),
+            "joints_vis": jnp.ones((bs, cfg.MODEL.NUM_JOINTS), jnp.float32),
+        },
+        mesh,
+    )
+    key = jax.random.PRNGKey(1)
+
+    def one(state, i):
+        batch = prep(raw, jax.random.fold_in(key, i))
+        # the step donates its state arg; thread it through
+        return step_fn(state, batch)
+
+    # warmup/compile
+    st, metrics = one(st, 0)
+    jax.device_get(metrics)
+
+    n = extra_args.profile_steps
+    with jax.profiler.trace(extra_args.trace_dir):
+        for i in range(n):
+            st, metrics = one(st, 100 + i)
+        jax.device_get(metrics)
+        jax.device_get(jax.tree.leaves(st)[0].ravel()[:1])
+
+    rows = analyze_trace(extra_args.trace_dir, n)
+    tot_t = sum(r[1] for r in rows)
+    tot_b = sum(r[2] for r in rows)
+    print(f"\n=== step profile ({n} steps, batch {bs}, "
+          f"{'advmix' if advmix else 'standard'}) ===")
+    print(f"{'category':28s} {'ms/step':>9s} {'GB/step':>9s} {'GB/s':>7s}")
+    for c, t, b in rows:
+        bw = b * 1e3 / t if t else 0.0
+        print(f"{c:28s} {t:9.2f} {b:9.2f} {bw:7.0f}")
+    print(f"{'TOTAL':28s} {tot_t:9.2f} {tot_b:9.2f} "
+          f"{tot_b * 1e3 / max(tot_t, 1e-9):7.0f}")
+    print(f"=> {bs * 1e3 / max(tot_t, 1e-9):.1f} img/s device-side")
+
+
+if __name__ == "__main__":
+    main()

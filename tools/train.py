@@ -92,14 +92,25 @@ def main(argv=None):
             )
             logger.info(f"=> loaded D and teacher from {args.load_from_D}")
         if args.load_from_G:
-            # native (orbax) G checkpoints only: the torch UnetGenerator's
-            # recursive module names don't map onto our flattened encoder/
-            # decoder naming (models/unet.py)
             if args.load_from_G.endswith(".pth"):
-                logger.warning(
-                    "=> torch generator checkpoints are not importable "
-                    "(recursive module naming); ignoring --load_from_G"
+                # torch UnetGenerator checkpoint: the recursive module
+                # naming maps mechanically onto our flattened encoder/
+                # decoder (torch_convert.torch_unet_to_flax; forward
+                # parity tested vs the reference model)
+                import torch as _torch
+
+                from advmix_tpu.models.torch_convert import torch_unet_to_flax
+
+                payload = _torch.load(args.load_from_G, map_location="cpu",
+                                      weights_only=False)
+                if isinstance(payload, dict) and "state_dict" in payload:
+                    payload = payload["state_dict"]
+                loaded_g = torch_unet_to_flax(
+                    payload, {"params": state.params_g},
+                    num_downs=args.downsamples,
                 )
+                state = state.replace(params_g=loaded_g["params"])
+                logger.info(f"=> loaded torch G from {args.load_from_G}")
             else:
                 import orbax.checkpoint as ocp
 

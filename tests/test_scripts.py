@@ -167,3 +167,26 @@ def test_bottomup_ochuman_corruption_sweep(tmp_path):
         head = f.readline()
         row = f.readline()
     assert "brightness" in head and row.strip(), (head, row)
+
+
+@pytest.mark.slow
+def test_profile_cli_smoke(tmp_path):
+    """tools/profile.py runs end-to-end; on CPU the per-op breakdown is
+    empty (host traces carry no hlo_category events) but the CLI must
+    complete and emit the table scaffold."""
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    r = subprocess.run(
+        [sys.executable, "tools/profile.py",
+         "--cfg", "experiments/synthetic/res18_64x64_smoke.yaml",
+         "--num_devices", "2", "--profile_steps", "2",
+         "--trace_dir", str(tmp_path / "trace"),
+         "TRAIN.BATCH_SIZE_PER_GPU", "4"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "step profile" in r.stdout

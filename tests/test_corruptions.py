@@ -182,3 +182,52 @@ def test_random_corruption_per_image():
             np.testing.assert_allclose(out[i : i + 1], want, atol=2e-2,
                                        err_msg=f"image {i} ({name}/{sev})")
     assert len(set(drawn)) > 1, "draws are not independent per image"
+
+
+def test_pixelate_matches_pil_oracle(img):
+    """pixelate vs the actual PIL pipeline imagecorruptions uses
+    (BOX downscale + NEAREST upscale). Our area-downscale is bilinear, so
+    parity is tight-tolerance rather than bit-exact."""
+    from PIL import Image
+
+    x = np.asarray(img)[0].astype(np.uint8)
+    pil = Image.fromarray(x)
+    h, w = x.shape[:2]
+    for sev in (1, 3, 5):
+        c = [0.6, 0.5, 0.4, 0.3, 0.25][sev - 1]
+        ref = np.asarray(
+            pil.resize((int(w * c), int(h * c)), Image.BOX)
+            .resize((w, h), Image.NEAREST)
+        ).astype(np.float32)
+        got = np.asarray(
+            C.corrupt(jnp.asarray(x[None].astype(np.float32)),
+                      "pixelate", sev)
+        )[0]
+        assert np.abs(got - ref).mean() < 4.0, sev
+
+
+def test_jpeg_matches_pil_oracle(img):
+    """jpeg_compression vs PIL's actual libjpeg encode/decode at the
+    imagecorruptions quality constants: our on-device DCT quantization
+    must land much closer to the real JPEG than the corruption magnitude
+    itself (measured ~10x closer)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    x = np.asarray(img)[0].astype(np.uint8)
+    pil = Image.fromarray(x)
+    for sev in (1, 3, 5):
+        q = [25, 18, 15, 10, 7][sev - 1]
+        buf = BytesIO()
+        pil.save(buf, "JPEG", quality=q)
+        ref = np.asarray(Image.open(buf)).astype(np.float32)
+        got = np.asarray(
+            C.corrupt(jnp.asarray(x[None].astype(np.float32)),
+                      "jpeg_compression", sev)
+        )[0]
+        ours_vs_pil = np.abs(got - ref).mean()
+        corruption_mag = np.abs(x.astype(np.float32) - ref).mean()
+        assert ours_vs_pil < 0.35 * corruption_mag, (
+            sev, ours_vs_pil, corruption_mag
+        )

@@ -526,7 +526,9 @@ def brightness(x, severity, key=None):
 def contrast(x, severity, key=None):
     c = [0.4, 0.3, 0.2, 0.1, 0.05][severity - 1]
     x01 = x / 255.0
-    mean = jnp.mean(x01, axis=(1, 2, 3), keepdims=True)
+    # imagecorruptions pulls toward the PER-CHANNEL mean (np.mean over
+    # H, W with keepdims), not a scalar image mean
+    mean = jnp.mean(x01, axis=(1, 2), keepdims=True)
     return _clip01((x01 - mean) * c + mean) * 255.0
 
 

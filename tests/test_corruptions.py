@@ -231,3 +231,35 @@ def test_jpeg_matches_pil_oracle(img):
         assert ours_vs_pil < 0.35 * corruption_mag, (
             sev, ours_vs_pil, corruption_mag
         )
+
+
+def test_hsv_corruptions_match_oracle(img):
+    """brightness / saturate / contrast vs numpy oracles implementing the
+    imagecorruptions algorithms verbatim (matplotlib's rgb<->hsv is the
+    same algorithm as the skimage conversions they call)."""
+    from matplotlib.colors import hsv_to_rgb, rgb_to_hsv
+
+    x01 = np.asarray(img)[0].astype(np.float32) / 255.0
+    xj = jnp.asarray(x01[None] * 255)
+
+    for sev in (1, 3, 5):
+        c = [0.1, 0.2, 0.3, 0.4, 0.5][sev - 1]
+        hsv = rgb_to_hsv(x01)
+        hsv[..., 2] = np.clip(hsv[..., 2] + c, 0, 1)
+        want = np.clip(hsv_to_rgb(hsv), 0, 1) * 255
+        got = np.asarray(C.corrupt(xj, "brightness", sev))[0]
+        np.testing.assert_allclose(got, want, atol=1e-2, err_msg=f"b{sev}")
+
+        sc, shift = [(0.3, 0), (0.1, 0), (2, 0), (5, 0.1),
+                     (20, 0.2)][sev - 1]
+        hsv = rgb_to_hsv(x01)
+        hsv[..., 1] = np.clip(hsv[..., 1] * sc + shift, 0, 1)
+        want = np.clip(hsv_to_rgb(hsv), 0, 1) * 255
+        got = np.asarray(C.corrupt(xj, "saturate", sev))[0]
+        np.testing.assert_allclose(got, want, atol=1e-2, err_msg=f"s{sev}")
+
+        cc = [0.4, 0.3, 0.2, 0.1, 0.05][sev - 1]
+        means = np.mean(x01, axis=(0, 1), keepdims=True)
+        want = np.clip((x01 - means) * cc + means, 0, 1) * 255
+        got = np.asarray(C.corrupt(xj, "contrast", sev))[0]
+        np.testing.assert_allclose(got, want, atol=1e-2, err_msg=f"c{sev}")

@@ -242,27 +242,22 @@ def gaussian_blur(x, severity, key=None):
 
 
 def _disk_kernel(radius: int, alias_blur: float) -> np.ndarray:
+    """imagecorruptions' `disk()` verbatim, incl. the quirk that the kernel
+    is NOT renormalized after cv2.GaussianBlur (border reflection makes it
+    sum to ~1.01 at radius >= 8, slightly brightening the output). Built
+    host-side at trace time; cv2 keeps it bit-exact."""
+    import cv2
+
     if radius <= 8:
         coords = np.arange(-8, 8 + 1)
-        ksize = 3
+        ksize = (3, 3)
     else:
         coords = np.arange(-radius, radius + 1)
-        ksize = 5
+        ksize = (5, 5)
     xg, yg = np.meshgrid(coords, coords)
     aliased = np.array((xg**2 + yg**2) <= radius**2, dtype=np.float32)
     aliased /= aliased.sum()
-    # approximate the cv2.GaussianBlur((ksize,ksize), alias_blur) aliasing
-    if alias_blur > 0:
-        r = ksize // 2
-        k1 = _gaussian_kernel_1d(alias_blur, r)
-        aliased = np.apply_along_axis(
-            lambda m: np.convolve(m, k1, mode="same"), 0, aliased
-        )
-        aliased = np.apply_along_axis(
-            lambda m: np.convolve(m, k1, mode="same"), 1, aliased
-        )
-        aliased /= aliased.sum()
-    return aliased.astype(np.float32)
+    return cv2.GaussianBlur(aliased, ksize=ksize, sigmaX=alias_blur)
 
 
 def defocus_blur(x, severity, key=None):

@@ -263,3 +263,29 @@ def test_hsv_corruptions_match_oracle(img):
         want = np.clip((x01 - means) * cc + means, 0, 1) * 255
         got = np.asarray(C.corrupt(xj, "contrast", sev))[0]
         np.testing.assert_allclose(got, want, atol=1e-2, err_msg=f"c{sev}")
+
+
+def test_defocus_disk_kernel_matches_cv2_oracle():
+    """_disk_kernel vs imagecorruptions' disk() verbatim (aliased disk +
+    cv2.GaussianBlur, NOT renormalized — the sum>1 quirk at radius>=8 is
+    part of the benchmark's distribution)."""
+    import cv2
+
+    def ref_disk(radius, alias_blur):
+        if radius <= 8:
+            L = np.arange(-8, 8 + 1)
+            ksize = (3, 3)
+        else:
+            L = np.arange(-radius, radius + 1)
+            ksize = (5, 5)
+        X, Y = np.meshgrid(L, L)
+        d = np.array((X ** 2 + Y ** 2) <= radius ** 2, dtype=np.float32)
+        d /= d.sum()
+        return cv2.GaussianBlur(d, ksize=ksize, sigmaX=alias_blur)
+
+    for radius, alias in [(3, 0.1), (4, 0.5), (6, 0.5), (8, 0.5),
+                          (10, 0.5)]:
+        np.testing.assert_allclose(
+            C._disk_kernel(radius, alias), ref_disk(radius, alias),
+            atol=1e-8, err_msg=f"r{radius}",
+        )

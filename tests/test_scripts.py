@@ -190,3 +190,38 @@ def test_profile_cli_smoke(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "step profile" in r.stdout
+
+
+@pytest.mark.slow
+def test_export_cli_roundtrip(tmp_path):
+    """tools/export.py: AOT StableHLO export of the inference step +
+    deserialize/execute round-trip + orbax weights copy."""
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    out = tmp_path / "export"
+    r = subprocess.run(
+        [sys.executable, "tools/export.py",
+         "--cfg", "experiments/synthetic/res18_64x64_smoke.yaml",
+         "--batch", "4", "--out", str(out),
+         "OUTPUT_DIR", str(tmp_path / "o"), "LOG_DIR", str(tmp_path / "l")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert (out / "pose_infer.stablehlo").stat().st_size > 10000
+    assert (out / "final_state").is_dir()
+
+    # the artifact is loadable without any model code
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    import orbax.checkpoint as ocp
+
+    blob = (out / "pose_infer.stablehlo").read_bytes()
+    fn = jexport.deserialize(bytearray(blob))
+    variables = ocp.PyTreeCheckpointer().restore(str(out / "final_state"))
+    res = fn.call(variables["params"], variables.get("batch_stats", {}),
+                  jnp.zeros((4, 64, 64, 3), jnp.float32))
+    assert np.asarray(res).shape == (4, 8, 3)

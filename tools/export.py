@@ -1,0 +1,152 @@
+"""Serving-export CLI: ahead-of-time export of the inference function.
+
+The reference ships raw weights only (`final_state.pth`,
+`tools/train.py:331-337`). TPU-native deployment wants a compiled
+artifact: this exports the pose network's inference step (forward +
+optional flip-test ensemble + fused decode to (B, J, 3) predictions in
+heatmap coords) as a serialized StableHLO module via `jax.export` —
+loadable in any process with `jax.export.deserialize(...).call(...)`,
+no model code required — alongside an orbax copy of the weights.
+
+Usage:
+  python tools/export.py --cfg <yaml> TEST.MODEL_FILE <ckpt> \
+      [--batch 128] [--out DIR]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+if os.environ.get("ADVMIX_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["ADVMIX_PLATFORM"])
+
+from _parse import parse_args  # noqa: E402
+
+
+def build_infer_fn(model, cfg, flip_pairs):
+    """Self-contained inference fn: normalized images -> (preds, maxvals)
+    stacked as (B, J, 3) [x, y, score] in heatmap coordinates (host maps
+    to original image coords with center/scale via transform_preds)."""
+    import jax.numpy as jnp
+
+    from advmix_tpu.ops.heatmap import get_max_preds, quarter_offset
+    from advmix_tpu.ops.transforms import flip_back, shift_heatmap_right
+
+    flip_test = cfg.TEST.FLIP_TEST
+    shift = cfg.TEST.SHIFT_HEATMAP
+    post = cfg.TEST.POST_PROCESS
+    pairs = tuple(tuple(p) for p in flip_pairs)
+
+    def infer(params, batch_stats, image):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = model.apply(variables, image, train=False)
+        if flip_test:
+            out_f = model.apply(variables, image[:, :, ::-1, :], train=False)
+            out_f = flip_back(out_f, pairs)
+            if shift:
+                out_f = shift_heatmap_right(out_f)
+            out = (out + out_f) * 0.5
+        coords, maxvals = get_max_preds(out)
+        if post:
+            coords = quarter_offset(out, coords)
+        return jnp.concatenate([coords, maxvals], axis=-1)  # (B, J, 3)
+
+    return infer
+
+
+def main(argv=None):
+    import argparse
+
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--batch", type=int, default=128)
+    extra.add_argument("--out", type=str, default="")
+    extra_args, rest = extra.parse_known_args(argv)
+    args = parse_args(rest)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    from advmix_tpu.config import get_default_config, update_config
+    from advmix_tpu import models
+    from advmix_tpu.engine.checkpoint import (
+        export_final_state,
+        load_torch_checkpoint,
+    )
+    from advmix_tpu.utils.logging import create_logger
+
+    cfg = get_default_config()
+    update_config(cfg, args)
+    logger, output_dir, _ = create_logger(cfg, args.cfg, "export")
+    out_dir = extra_args.out or os.path.join(output_dir, "export")
+    os.makedirs(out_dir, exist_ok=True)
+
+    dtype = (jnp.bfloat16
+             if (args.dtype or cfg.TRAIN.DTYPE) == "bfloat16"
+             else jnp.float32)
+    model = models.get_pose_net(cfg, dtype=dtype)
+    w, h = cfg.MODEL.IMAGE_SIZE
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3)), train=False
+    )
+    model_file = cfg.TEST.MODEL_FILE
+    if model_file and model_file.endswith(".pth"):
+        variables = load_torch_checkpoint(model_file, dict(variables))
+        logger.info(f"=> loaded torch model {model_file}")
+    elif model_file and os.path.isdir(model_file):
+        import orbax.checkpoint as ocp
+
+        params = ocp.PyTreeCheckpointer().restore(os.path.abspath(model_file))
+        variables = {"params": params,
+                     "batch_stats": variables.get("batch_stats", {})}
+        logger.info(f"=> loaded model {model_file}")
+    else:
+        logger.warning("=> no TEST.MODEL_FILE; exporting random init")
+
+    # flip pairs come from the dataset family
+    from advmix_tpu.data import build_dataset
+
+    try:
+        flip_pairs = build_dataset(cfg, is_train=False).flip_pairs
+    except Exception:
+        flip_pairs = []
+        logger.warning("=> dataset unavailable; exporting without flip pairs")
+
+    infer = build_infer_fn(model, cfg, flip_pairs)
+    b = extra_args.batch
+
+    def fn(params, batch_stats, image):
+        return infer(params, batch_stats, image)
+
+    exported = jexport.export(jax.jit(fn))(
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                     variables["params"]),
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                     variables.get("batch_stats", {})),
+        jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32),
+    )
+    blob = exported.serialize()
+    path = os.path.join(out_dir, "pose_infer.stablehlo")
+    with open(path, "wb") as f:
+        f.write(blob)
+    logger.info(
+        f"=> exported AOT inference module ({len(blob)/1e6:.1f} MB, "
+        f"batch {b}, {w}x{h}) to {path}"
+    )
+    wpath = export_final_state(out_dir, jax.device_get(variables))
+    logger.info(f"=> weights exported to {wpath}")
+
+    # round-trip smoke: deserialize and run one batch
+    rt = jexport.deserialize(bytearray(blob))
+    out = rt.call(variables["params"], variables.get("batch_stats", {}),
+                  jnp.zeros((b, h, w, 3), jnp.float32))
+    logger.info(f"=> round-trip OK: output {np.asarray(out).shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -391,6 +391,21 @@ class ConcatDataset(BaseJointsDataset):
                 return sample
         raise IndexError(idx)
 
+    def get_raw_sample(self, idx: int, rng: np.random.RandomState,
+                       bucket_hw=(512, 768)) -> dict:
+        """Device-warp path for concatenated (e.g. stylized) datasets:
+        delegate to the owning child and tag `is_style`, so DEVICE_WARP +
+        --stylize_image composes instead of crashing on self.records."""
+        for d, off, tag in zip(
+            reversed(self.datasets), reversed(self._offsets),
+            reversed(self.style_tags),
+        ):
+            if idx >= off:
+                sample = d.get_raw_sample(idx - off, rng, bucket_hw)
+                sample["is_style"] = np.float32(tag)
+                return sample
+        raise IndexError(idx)
+
     def evaluate(self, *args, **kwargs):
         return self.datasets[0].evaluate(*args, **kwargs)
 
@@ -476,6 +491,19 @@ class DeviceWarpMixin:
         bh, bw = bucket_hw
         padded = np.zeros((bh, bw, 3), np.uint8)
         h0, w0 = min(img.shape[0], bh), min(img.shape[1], bw)
+        if img.shape[0] > bh or img.shape[1] > bw:
+            # a cropped source silently corrupts any crop window touching
+            # the lost region — surface it (once per dataset object)
+            if not getattr(self, "_warned_bucket_crop", False):
+                self._warned_bucket_crop = True
+                import logging
+
+                logging.getLogger("advmix_tpu").warning(
+                    "DEVICE_WARP bucket %s smaller than source image %s "
+                    "(%s) — image truncated; raise DATASET.WARP_BUCKET to "
+                    "cover the dataset's largest image",
+                    (bh, bw), img.shape[:2], rec["image"],
+                )
         padded[:h0, :w0] = img[:h0, :w0]
 
         return dict(

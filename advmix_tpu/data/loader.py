@@ -46,7 +46,11 @@ class Loader:
         if num_threads is None:
             import os
 
-            num_threads = max(2, min(8, os.cpu_count() or 2))
+            # Size the pool to the host: ~130 samples/s/core for
+            # decode+warp (PERF.md) means an 8-chip v5e host (~4000 img/s
+            # of step demand) needs ~32 cores of decode. Use all cores,
+            # bounded only against silly oversubscription.
+            num_threads = max(2, min(64, os.cpu_count() or 2))
         self.raw_mode = raw_mode
         self.bucket_hw = tuple(bucket_hw)
         self.num_shards = max(1, num_shards)
@@ -129,18 +133,27 @@ class Loader:
                                                    self.bucket_hw)
             return self.dataset.get_sample(int(i), rng)
 
-        def assemble(sample_futs, real):
+        def assemble(sample_futs, real, bidx):
             samples = [f.result() if hasattr(f, "result") else f
                        for f in sample_futs]
             if real < self.batch_size:
                 samples = self._pad(samples)
             b = self._collate(samples)
             b["_n"] = real
+            # global dataset indices (padded by repeating the last), so
+            # multi-host eval can gather + reorder predictions by index
+            full = np.asarray(bidx, np.int64)
+            if len(full) < self.batch_size:
+                full = np.concatenate(
+                    [full,
+                     np.full(self.batch_size - len(full), full[-1], np.int64)]
+                )
+            b["_indices"] = full
             return b
 
         if self.num_threads <= 1:
             for bidx, real in batches:
-                yield assemble([one(i) for i in bidx], real)
+                yield assemble([one(i) for i in bidx], real, bidx)
             return
 
         # N-thread pool: per-sample futures, `prefetch + 1` batches in
@@ -151,15 +164,17 @@ class Loader:
             bi = 0
             while bi < len(batches) and len(inflight) < window:
                 bidx, real = batches[bi]
-                inflight.append(([ex.submit(one, i) for i in bidx], real))
+                inflight.append(
+                    ([ex.submit(one, i) for i in bidx], real, bidx)
+                )
                 bi += 1
             while inflight:
-                futs, real = inflight.popleft()
-                batch = assemble(futs, real)
+                futs, real, bidx = inflight.popleft()
+                batch = assemble(futs, real, bidx)
                 if bi < len(batches):
                     bidx, real = batches[bi]
                     inflight.append(
-                        ([ex.submit(one, i) for i in bidx], real)
+                        ([ex.submit(one, i) for i in bidx], real, bidx)
                     )
                     bi += 1
                 yield batch

@@ -79,13 +79,50 @@ class CheckpointManager:
         return self._ckpt.restore(path)
 
 
-def export_final_state(output_dir: str, params, name: str = "final_state"):
-    """Final raw-weights export (`tools/train.py:331-337`)."""
+def export_final_state(output_dir: str, variables, name: str = "final_state"):
+    """Final raw-weights export (`tools/train.py:331-337`).
+
+    Repo-wide payload convention: the FULL variables dict
+    {"params": ..., "batch_stats": ...} — the reference's
+    `model.state_dict()` includes BN running stats, so a params-only
+    export would eval with random-init batch statistics."""
+    if "params" not in variables:
+        raise ValueError(
+            "export_final_state expects the full variables dict "
+            "{'params': ..., 'batch_stats': ...}, got keys "
+            f"{list(variables)}"
+        )
     path = os.path.join(output_dir, name)
     ocp.PyTreeCheckpointer().save(
-        os.path.abspath(path), _to_numpy_tree(params), force=True
+        os.path.abspath(path), _to_numpy_tree(variables), force=True
     )
     return path
+
+
+def load_final_state(path: str, init_variables: dict) -> dict:
+    """Restore a final_state orbax dir into a variables dict.
+
+    Accepts both payload shapes: the current full-variables convention
+    and legacy bare-params trees (for which batch_stats falls back to
+    `init_variables` — loudly, since untrained BN stats produce garbage
+    for BN models)."""
+    import logging
+
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    if isinstance(restored, dict) and "params" in restored:
+        stats = restored.get("batch_stats",
+                             init_variables.get("batch_stats", {}))
+        return {"params": restored["params"], "batch_stats": stats}
+    # legacy bare-params payload
+    init_stats = init_variables.get("batch_stats", {})
+    if jax.tree.leaves(init_stats):
+        logging.getLogger("advmix_tpu").warning(
+            "final_state at %s holds bare params (legacy layout); "
+            "batch_stats falls back to INIT values — BN models will "
+            "produce wrong outputs unless stats are loaded separately",
+            path,
+        )
+    return {"params": restored, "batch_stats": init_stats}
 
 
 def load_torch_checkpoint(path: str, variables: dict, strict: bool = False,

@@ -32,9 +32,37 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 import optax
 
-from ..ops.losses import joints_loss, joints_ohkm_loss
+from ..ops.losses import (
+    joints_loss,
+    joints_loss_per_sample,
+    joints_ohkm_loss,
+    joints_ohkm_loss_per_sample,
+)
 from ..ops.heatmap import pck_accuracy, get_final_preds
 from ..ops.transforms import flip_back, shift_heatmap_right
+from ..models.layers import cross_replica_bn
+
+
+def _bn_axis_for(cfg, axis: str):
+    """TRAIN.CROSS_REPLICA_BN -> sync-BN across the data axis. Default
+    (False) keeps per-replica stats, matching the reference's
+    DataParallel behavior (SURVEY §7 hard part 4)."""
+    return axis if bool(getattr(cfg.TRAIN, "CROSS_REPLICA_BN", False)) else None
+
+
+def _with_bn_axis(fn, axis_name):
+    """Wrap a (to-be-traced) step body so BN layers constructed during its
+    trace compute cross-replica statistics. functools.wraps keeps the
+    function name (and thus HLO module naming / the persistent compile
+    cache key) identical to the unwrapped step."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with cross_replica_bn(axis_name):
+            return fn(*a, **k)
+
+    return wrapped
 
 
 def _criterion_kind(cfg) -> str:
@@ -58,6 +86,26 @@ def _loss_fn_for(cfg) -> Callable:
 
     def fn(out, target, tw):
         return joints_loss(out, target, tw, use_tw, crit)
+
+    return fn
+
+
+def _per_sample_loss_fn_for(cfg) -> Callable:
+    """(B,)-shaped variant for eval-metric masking of padded tail rows."""
+    if cfg.LOSS.USE_OHKM:
+        topk = cfg.LOSS.TOPK
+
+        def fn(out, target, tw):
+            return joints_ohkm_loss_per_sample(
+                out, target, tw, cfg.LOSS.USE_TARGET_WEIGHT, topk
+            )
+
+        return fn
+    crit = _criterion_kind(cfg)
+    use_tw = cfg.LOSS.USE_TARGET_WEIGHT
+
+    def fn(out, target, tw):
+        return joints_loss_per_sample(out, target, tw, use_tw, crit)
 
     return fn
 
@@ -112,7 +160,7 @@ def make_train_step(model, tx, cfg, mesh: Mesh, axis: str = "data",
 
     out_specs = (P(), P(), P(axis)) if debug else (P(), P())
     sharded = jax.shard_map(
-        step,
+        _with_bn_axis(step, _bn_axis_for(cfg, axis)),
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=out_specs,
@@ -238,7 +286,7 @@ def make_advmix_step(
 
     out_specs = (P(), P(), P(axis)) if debug else (P(), P())
     sharded = jax.shard_map(
-        step,
+        _with_bn_axis(step, _bn_axis_for(cfg, axis)),
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=out_specs,
@@ -255,7 +303,7 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
     from ..ops.heatmap import get_final_preds_softargmax
     from ..ops.transforms import transform_preds_jax
 
-    loss_of = _loss_fn_for(cfg)
+    loss_per_sample = _per_sample_loss_fn_for(cfg)
     flip_test = cfg.TEST.FLIP_TEST
     shift = cfg.TEST.SHIFT_HEATMAP
     post = cfg.TEST.POST_PROCESS
@@ -286,8 +334,18 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
             if shift:
                 out_f = shift_heatmap_right(out_f)
             out = (out + out_f) * 0.5
-        loss = loss_of(out, batch["target"], batch["target_weight"])
-        _, acc, cnt = pck_accuracy(out, batch["target"])
+        # Padded tail rows (Loader repeats the last sample so compiled
+        # shapes stay static) are masked out of the logged metrics:
+        # loss is psum(per-sample)/psum(n_valid), exact regardless of
+        # TEST.BATCH_SIZE_PER_GPU; PCK excludes masked rows.
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones((batch["image"].shape[0],), jnp.float32)
+        v = valid.astype(jnp.float32)
+        ps = loss_per_sample(out, batch["target"], batch["target_weight"])
+        loss_sum = lax.psum(jnp.sum(ps * v), axis)
+        n_valid = lax.psum(jnp.sum(v), axis)
+        _, acc, cnt = pck_accuracy(out, batch["target"], sample_mask=v)
         if soft:
             preds, maxvals = get_final_preds_softargmax(
                 out, batch["center"], batch["scale"], post_process=post
@@ -295,7 +353,7 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
         else:
             preds, maxvals = decode(out, batch["center"], batch["scale"])
         metrics = {
-            "loss": lax.pmean(loss, axis),
+            "loss": loss_sum / jnp.maximum(n_valid, 1.0),
             "acc": lax.pmean(acc, axis),
             "acc_cnt": lax.psum(cnt, axis),
         }
@@ -385,7 +443,7 @@ def make_bottomup_step(
         return new_state, metrics
 
     sharded = jax.shard_map(
-        step,
+        _with_bn_axis(step, _bn_axis_for(cfg, axis)),
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
@@ -556,7 +614,7 @@ def make_bottomup_advmix_step(
         return new_state, metrics
 
     sharded = jax.shard_map(
-        step,
+        _with_bn_axis(step, _bn_axis_for(cfg, axis)),
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),

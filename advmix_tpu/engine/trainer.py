@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..data import Loader
 from ..ops.augment import make_advmix_views, IMAGENET_MEAN_STD
 from ..ops.heatmap import generate_target
-from ..ops.corruptions import corrupt, ALL_CORRUPTIONS
+from ..ops.corruptions import corrupt, BENCHMARK_CORRUPTIONS
 from ..parallel import device_put_batch
 from ..utils.logging import AverageMeter, print_name_value
 
@@ -38,13 +38,18 @@ def make_random_corruption_fn(mesh, chunk: int = 1, axis: str = "data"):
     batch to (n_chunks, chunk, H, W, C) and lax.scan's a single 75-branch
     lax.switch body over the chunks — one compiled corruption subprogram
     per (type, severity), per-image draws at chunk=1, and no cross-device
-    traffic. chunk > 1 trades draw granularity for larger (faster) ops."""
+    traffic. chunk > 1 trades draw granularity for larger (faster) ops.
+
+    Samples ONLY the 15 benchmark corruptions: the reference's baseline
+    hardcodes that list in `get_clean` (`JointsDataset.py:259-264`) — the
+    4 holdout types are excluded so the held-out mPC protocol stays
+    uncontaminated."""
     from jax.sharding import PartitionSpec as P
 
-    n_types = len(ALL_CORRUPTIONS)
+    n_types = len(BENCHMARK_CORRUPTIONS)
     branches = []
     for i in range(n_types * 5):
-        name = ALL_CORRUPTIONS[i // 5]
+        name = BENCHMARK_CORRUPTIONS[i // 5]
         sev = i % 5 + 1
         branches.append(
             lambda x, k, name=name, sev=sev: corrupt(x, name, sev, k)
@@ -192,6 +197,13 @@ def train_epoch(
             if k in host_batch:
                 host[k] = host_batch[k]
             elif k == "is_style":
+                if not getattr(train_epoch, "_warned_is_style", False):
+                    train_epoch._warned_is_style = True
+                    logger.warning(
+                        "batch lacks 'is_style'; zero-filling — the "
+                        "--sp_style AutoAugment/GridMask exemption is "
+                        "inactive for these samples"
+                    )
                 host[k] = np.zeros(len(host_batch["image"]), np.float32)
             else:
                 raise KeyError(
@@ -237,6 +249,30 @@ def train_epoch(
     return state, key
 
 
+def merge_prediction_shards(parts):
+    """Merge per-process eval outputs into one prediction set.
+
+    parts: list over processes of (indices (n_p,), preds (n_p, J, 3),
+    boxes (n_p, 6)). Returns (indices, preds, boxes) concatenated and
+    stably ordered by global dataset index — the exact set an unsharded
+    pass would produce (shards are disjoint by construction)."""
+    idx = np.concatenate([np.asarray(p[0], np.int64) for p in parts])
+    preds = np.concatenate([np.asarray(p[1]) for p in parts])
+    boxes = np.concatenate([np.asarray(p[2]) for p in parts])
+    order = np.argsort(idx, kind="stable")
+    return idx[order], preds[order], boxes[order]
+
+
+def _local_eval_rows(x):
+    """This process's rows of a batch-sharded eval output (multi-host:
+    device_get of non-addressable shards is illegal)."""
+    shards = sorted(
+        x.addressable_shards,
+        key=lambda s: (s.index[0].start or 0),
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def validate(
     cfg,
     eval_step,
@@ -251,17 +287,26 @@ def validate(
     writer_state=None,
 ):
     """Full validation pass + dataset.evaluate
-    (reference `validate`, lib/core/function.py:200-360)."""
+    (reference `validate`, lib/core/function.py:200-360).
+
+    Multi-host: the caller shards `loader` per process; each process
+    accumulates only its own prediction rows, the shards are allgathered
+    and merged by dataset index, and COCOeval/PCKh runs on process 0 only
+    (perf broadcast back), so an N-host corruption sweep does 1/N of the
+    eval passes per host instead of all of them."""
     losses = AverageMeter()
     accs = AverageMeter()
+    n_proc = jax.process_count()
     num_samples = len(dataset)
     all_preds = np.zeros((num_samples, dataset.num_joints, 3), np.float32)
     all_boxes = np.zeros((num_samples, 6))
+    all_indices = np.zeros(num_samples, np.int64)
     image_paths = []
     idx = 0
     t_device = 0.0
 
     for host_batch in loader:
+        bsz = len(host_batch["image"])
         raw = device_put_batch(
             {
                 "image": host_batch["image"],
@@ -269,6 +314,11 @@ def validate(
                 "joints_vis": host_batch["joints_vis"],
                 "center": host_batch["center"].astype(np.float32),
                 "scale": host_batch["scale"].astype(np.float32),
+                # mask for the Loader's padded tail rows so logged
+                # loss/PCK are invariant to TEST.BATCH_SIZE_PER_GPU
+                "valid": (np.arange(bsz) < host_batch["_n"]).astype(
+                    np.float32
+                ),
             },
             mesh,
         )
@@ -276,9 +326,14 @@ def validate(
         batch = dict(prepped)
         batch["center"] = raw["center"]
         batch["scale"] = raw["scale"]
+        batch["valid"] = raw["valid"]
         t0 = time.time()
         preds, maxvals, metrics = eval_step(params, batch_stats, batch)
-        preds, maxvals = jax.device_get((preds, maxvals))
+        if n_proc > 1:
+            preds = _local_eval_rows(preds)
+            maxvals = _local_eval_rows(maxvals)
+        else:
+            preds, maxvals = jax.device_get((preds, maxvals))
         t_device += time.time() - t0
 
         n = host_batch["_n"]
@@ -294,15 +349,56 @@ def validate(
         all_boxes[idx : idx + n, 2:4] = s
         all_boxes[idx : idx + n, 4] = np.prod(s * 200, 1)
         all_boxes[idx : idx + n, 5] = score
+        all_indices[idx : idx + n] = host_batch.get(
+            "_indices", np.arange(idx, idx + len(host_batch["image"]))
+        )[:n]
         image_paths.extend(host_batch["image_path"][:n])
         idx += n
 
     logger.info(
         "=> The average device time per batch: %.4fs", t_device / max(len(loader), 1)
     )
-    name_values, perf = dataset.evaluate(
-        cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_paths
-    )
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        # pad local arrays to a common length, allgather, trim by counts
+        counts = np.asarray(
+            multihost_utils.process_allgather(np.int64(idx))
+        ).reshape(-1)
+        m = int(counts.max())
+
+        def _pad_to(a, m):
+            pad = np.zeros((m - len(a),) + a.shape[1:], a.dtype)
+            return np.concatenate([a, pad]) if m > len(a) else a
+
+        g_idx = np.asarray(multihost_utils.process_allgather(
+            _pad_to(all_indices[:idx], m)))
+        g_preds = np.asarray(multihost_utils.process_allgather(
+            _pad_to(all_preds[:idx], m)))
+        g_boxes = np.asarray(multihost_utils.process_allgather(
+            _pad_to(all_boxes[:idx], m)))
+        parts = [
+            (g_idx[p][: counts[p]], g_preds[p][: counts[p]],
+             g_boxes[p][: counts[p]])
+            for p in range(len(counts))
+        ]
+        merged_idx, merged_preds, merged_boxes = merge_prediction_shards(
+            parts
+        )
+        if jax.process_index() == 0:
+            paths = [dataset.records[int(i)]["image"] for i in merged_idx]
+            name_values, perf = dataset.evaluate(
+                cfg, merged_preds, output_dir, merged_boxes, paths
+            )
+        else:
+            name_values, perf = {}, 0.0
+        perf = float(
+            multihost_utils.broadcast_one_to_all(np.float32(perf))
+        )
+    else:
+        name_values, perf = dataset.evaluate(
+            cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_paths
+        )
     if isinstance(name_values, list):
         for nv in name_values:
             print_name_value(logger, nv, cfg.MODEL.NAME)

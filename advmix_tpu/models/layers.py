@@ -76,13 +76,39 @@ class TorchBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+_BN_AXIS_NAME: str | None = None
+
+
+def cross_replica_bn(axis_name: str | None):
+    """Trace-time context: every `batch_norm` constructed inside computes
+    batch statistics across the named mesh axis (sync-BN,
+    TRAIN.CROSS_REPLICA_BN). The step functions (engine/steps.py) wrap
+    their bodies in this, so the flag flips behavior without threading an
+    attribute through every block of three model families. Python-level
+    state is safe here because flax module construction happens
+    synchronously during tracing inside the `with` scope."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        global _BN_AXIS_NAME
+        old = _BN_AXIS_NAME
+        _BN_AXIS_NAME = axis_name
+        try:
+            yield
+        finally:
+            _BN_AXIS_NAME = old
+
+    return ctx()
+
+
 def batch_norm(
     name: str, train: bool, dtype=jnp.float32, axis_name: str | None = None
 ) -> TorchBatchNorm:
     return TorchBatchNorm(
         use_running_average=not train,
         dtype=dtype,
-        axis_name=axis_name,
+        axis_name=axis_name if axis_name is not None else _BN_AXIS_NAME,
         name=name,
     )
 

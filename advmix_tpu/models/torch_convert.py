@@ -63,6 +63,50 @@ def _layer_allowed(tkey: str, pretrained_layers) -> bool:
     return tkey.split(".")[0] in layers
 
 
+def remap_official_higher_hrnet_keys(
+    state_dict: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Rewrite the public HigherHRNet checkpoint layout onto our bottom-up
+    naming (models/higher_hrnet.py).
+
+    The official `_make_deconv_layers` nests
+    Sequential(Sequential(ConvT, BN, ReLU), Sequential(BasicBlock), ...)
+    per deconv stage, producing keys
+        deconv_layers.<i>.0.0.*           (ConvTranspose)
+        deconv_layers.<i>.0.1.*           (BatchNorm)
+        deconv_layers.<i>.<j>.0.conv1.*   (BasicBlock j-1), j >= 1
+    which we map to deconv_layers_<i>_deconv / _bn / _block_<j-1>_... .
+    Keys not matching the 3-numeric-index pattern pass through untouched
+    (PoseResNet's flat `deconv_layers.<k>.*` Sequential has one index, so
+    top-down checkpoints are unaffected). `final_layers.<i>.*` already maps
+    by the generic dots->underscores rule."""
+    import re
+
+    pat = re.compile(r"^deconv_layers\.(\d+)\.(\d+)\.0\.(.+)$")
+    out = {}
+    for k, v in state_dict.items():
+        m = pat.match(k)
+        if m is None:
+            out[k] = v
+            continue
+        i, j, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        if j == 0:
+            # Sequential(ConvT@0, BN@1, ReLU@2): inner index 0 == ConvT
+            out[f"deconv_layers_{i}_deconv.{rest}"] = v
+        else:
+            out[f"deconv_layers_{i}_block_{j - 1}.{rest}"] = v
+    # BN keys (inner index 1) did not match the first pattern
+    pat_bn = re.compile(r"^deconv_layers\.(\d+)\.0\.1\.(.+)$")
+    rest_keys = {}
+    for k, v in out.items():
+        m = pat_bn.match(k)
+        if m is None:
+            rest_keys[k] = v
+        else:
+            rest_keys[f"deconv_layers_{m.group(1)}_bn.{m.group(2)}"] = v
+    return rest_keys
+
+
 def torch_to_flax_variables(
     state_dict: Dict[str, Any],
     variables: dict,
@@ -79,6 +123,7 @@ def torch_to_flax_variables(
     With `return_report`, also returns {'matched': n, 'misses': [...],
     'filtered': [...]} so callers can verify the load actually happened."""
     state_dict = strip_module_prefix(state_dict)
+    state_dict = remap_official_higher_hrnet_keys(state_dict)
     filtered = [k for k in state_dict
                 if not _layer_allowed(k, pretrained_layers)]
     if filtered:

@@ -190,12 +190,16 @@ def get_final_preds(
 # Train-time PCK accuracy (on-device)
 # ---------------------------------------------------------------------------
 
-def pck_accuracy(output: jnp.ndarray, target: jnp.ndarray, thr: float = 0.5):
+def pck_accuracy(output: jnp.ndarray, target: jnp.ndarray, thr: float = 0.5,
+                 sample_mask: jnp.ndarray | None = None):
     """PCK on argmax-decoded heatmap coords, NHWC inputs (B, H, W, J).
 
     Matches `lib/core/evaluate.py:41-99`: distances normalized by
     np.array([h, w]) / 10 (reference quirk: h scales x, w scales y),
     samples with target coords <= 1 ignored.
+
+    sample_mask (B,) optionally excludes rows (the Loader's padded tail
+    repeats of the last sample) from the statistics entirely.
 
     Returns (per_joint_acc (J,), avg_acc scalar, cnt scalar).
     Per-joint accuracies are -1 where no valid sample exists."""
@@ -205,6 +209,8 @@ def pck_accuracy(output: jnp.ndarray, target: jnp.ndarray, thr: float = 0.5):
     norm = jnp.array([h / 10.0, w / 10.0], jnp.float32)
 
     valid = (tgt[..., 0] > 1) & (tgt[..., 1] > 1)  # (B, J)
+    if sample_mask is not None:
+        valid = valid & (sample_mask[:, None] > 0)
     d = jnp.linalg.norm((pred - tgt) / norm, axis=-1)  # (B, J)
 
     hit = (d < thr) & valid

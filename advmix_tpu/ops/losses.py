@@ -52,6 +52,31 @@ def joints_loss(
     return 0.5 * jnp.sum(per_joint) / j
 
 
+def joints_loss_per_sample(
+    output: jnp.ndarray,
+    target: jnp.ndarray,
+    target_weight: jnp.ndarray,
+    use_target_weight: bool = True,
+    criterion: str = "smooth_l1",
+) -> jnp.ndarray:
+    """Per-sample joints_loss, shape (B,): `jnp.mean(...)` of the result
+    equals `joints_loss(...)`. Used by the eval step to mask padded tail
+    rows (the Loader repeats the last sample to keep compiled shapes
+    static) out of the logged metrics."""
+    b = output.shape[0]
+    j = output.shape[-1]
+    pred = output.reshape(b, -1, j)
+    gt = target.reshape(b, -1, j)
+    if use_target_weight:
+        w = target_weight[:, None, :]
+        pred = pred * w
+        gt = gt * w
+    diff = pred - gt
+    per_elem = diff * diff if criterion == "mse" else smooth_l1(diff)
+    per_sj = jnp.mean(per_elem, axis=1)  # (B, J)
+    return 0.5 * jnp.sum(per_sj, axis=-1) / j
+
+
 def joints_ohkm_loss(
     output: jnp.ndarray,
     target: jnp.ndarray,
@@ -72,3 +97,24 @@ def joints_ohkm_loss(
     per_joint = 0.5 * jnp.mean((pred - gt) ** 2, axis=1)  # (B, J)
     topk_vals = jnp.sort(per_joint, axis=1)[:, -topk:]
     return jnp.mean(jnp.sum(topk_vals, axis=1) / topk)
+
+
+def joints_ohkm_loss_per_sample(
+    output: jnp.ndarray,
+    target: jnp.ndarray,
+    target_weight: jnp.ndarray,
+    use_target_weight: bool = True,
+    topk: int = 8,
+) -> jnp.ndarray:
+    """Per-sample OHKM loss, shape (B,); mean equals joints_ohkm_loss."""
+    b = output.shape[0]
+    j = output.shape[-1]
+    pred = output.reshape(b, -1, j)
+    gt = target.reshape(b, -1, j)
+    if use_target_weight:
+        w = target_weight[:, None, :]
+        pred = pred * w
+        gt = gt * w
+    per_joint = 0.5 * jnp.mean((pred - gt) ** 2, axis=1)
+    topk_vals = jnp.sort(per_joint, axis=1)[:, -topk:]
+    return jnp.sum(topk_vals, axis=1) / topk

@@ -45,12 +45,42 @@ def test_save_restore_roundtrip(tmp_path):
 
 
 def test_final_export(tmp_path):
+    """final_state stores the FULL variables dict (params + batch_stats)
+    and load_final_state round-trips it; legacy bare-params payloads are
+    still readable."""
+    from advmix_tpu.engine.checkpoint import load_final_state
+
     st = _state()
-    path = export_final_state(str(tmp_path), jax.device_get(st.params))
+    variables = jax.device_get(
+        {"params": st.params, "batch_stats": st.batch_stats}
+    )
+    path = export_final_state(str(tmp_path), variables)
+    loaded = load_final_state(path, {"params": {}, "batch_stats": {}})
+    for a, b in zip(jax.tree.leaves(loaded["params"]),
+                    jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(loaded["batch_stats"]),
+                    jax.tree.leaves(st.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # bare-params export must be rejected (silent BN-stat loss otherwise)
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_final_state(str(tmp_path), jax.device_get(st.params),
+                           name="bad_state")
+
+    # legacy bare-params dirs still load, falling back to init stats
     import orbax.checkpoint as ocp
 
-    loaded = ocp.PyTreeCheckpointer().restore(path)
-    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(st.params)):
+    legacy = str(tmp_path / "legacy_state")
+    ocp.PyTreeCheckpointer().save(legacy, jax.device_get(st.params),
+                                  force=True)
+    out = load_final_state(
+        legacy, {"params": {}, "batch_stats": jax.device_get(st.batch_stats)}
+    )
+    for a, b in zip(jax.tree.leaves(out["params"]),
+                    jax.tree.leaves(st.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

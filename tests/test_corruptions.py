@@ -164,15 +164,18 @@ def test_random_corruption_per_image():
         )
     )
 
-    # replicate the per-replica draw sequence
-    n75 = len(C.ALL_CORRUPTIONS) * 5
+    # replicate the per-replica draw sequence (15 benchmark types only —
+    # the reference baseline excludes the 4 holdout corruptions,
+    # JointsDataset.py:259-264)
+    n75 = len(C.BENCHMARK_CORRUPTIONS) * 5
+    assert n75 == 75
     drawn = []
     for r in range(n_dev):
         keys = jax.random.split(jax.random.fold_in(key, r), per)
         for j in range(per):
             k_c, k_s = jax.random.split(keys[j])
             idx = int(jax.random.randint(k_c, (), 0, n75))
-            name = C.ALL_CORRUPTIONS[idx // 5]
+            name = C.BENCHMARK_CORRUPTIONS[idx // 5]
             sev = idx % 5 + 1
             drawn.append(idx)
             i = r * per + j
@@ -289,3 +292,38 @@ def test_defocus_disk_kernel_matches_cv2_oracle():
             C._disk_kernel(radius, alias), ref_disk(radius, alias),
             atol=1e-8, err_msg=f"r{radius}",
         )
+
+
+def test_bucketed_padding_fidelity_split():
+    """ADVICE r2: edge-replicate padding to a size class must not change
+    the rendered crop for BUCKETED corruptions; canvas-sensitive ones
+    (global statistics) must go through the exact-shape path. Verifies
+    both halves of tools/make_datasets.py's CANVAS_SENSITIVE split."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_datasets import CANVAS_SENSITIVE
+
+    rng = np.random.RandomState(0)
+    h, w = 37, 53
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.float32)
+    padded = np.pad(img, ((0, 64 - h), (0, 64 - w), (0, 0)), mode="edge")
+
+    key = jax.random.PRNGKey(1)
+
+    # pointwise: identical inside the original region
+    for name in ("brightness", "saturate"):
+        exact = np.asarray(C.corrupt(jnp.asarray(img[None]), name, 3, key))[0]
+        buck = np.asarray(
+            C.corrupt(jnp.asarray(padded[None]), name, 3, key)
+        )[0][:h, :w]
+        np.testing.assert_allclose(buck, exact, atol=1e-3, err_msg=name)
+
+    # global-statistic: padding visibly changes the crop -> must be in
+    # CANVAS_SENSITIVE (exact-shape rendering)
+    for name in ("contrast", "pixelate"):
+        assert name in CANVAS_SENSITIVE
+        exact = np.asarray(C.corrupt(jnp.asarray(img[None]), name, 3, key))[0]
+        buck = np.asarray(
+            C.corrupt(jnp.asarray(padded[None]), name, 3, key)
+        )[0][:h, :w]
+        assert np.abs(buck - exact).max() > 1.0, name

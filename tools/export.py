@@ -99,11 +99,9 @@ def main(argv=None):
         variables = load_torch_checkpoint(model_file, dict(variables))
         logger.info(f"=> loaded torch model {model_file}")
     elif model_file and os.path.isdir(model_file):
-        import orbax.checkpoint as ocp
+        from advmix_tpu.engine.checkpoint import load_final_state
 
-        params = ocp.PyTreeCheckpointer().restore(os.path.abspath(model_file))
-        variables = {"params": params,
-                     "batch_stats": variables.get("batch_stats", {})}
+        variables = load_final_state(model_file, dict(variables))
         logger.info(f"=> loaded model {model_file}")
     else:
         logger.warning("=> no TEST.MODEL_FILE; exporting random init")

@@ -13,6 +13,18 @@ sweep compiles O(size classes) programs per (corruption, severity) instead
 of one per distinct resolution (COCO val has hundreds), and images are
 decoded lazily per chunk instead of held in RAM.
 
+Bucketing is restricted to corruptions whose output inside the original
+region does not depend on the canvas: pointwise ops, iid noises
+(distribution-identical under padding), and local convolutions (edge-band
+deviation bounded by the kernel radius vs cv2's border mode). Corruptions
+with GLOBAL spatial statistics — contrast's per-channel mean, fog/frost/
+snow/spatter's canvas-sized layers, pixelate's block grid, jpeg's DCT
+tiles, elastic's displacement field, zoom_blur's center — are compiled at
+the EXACT source resolution (one program per distinct shape) so the
+rendered -C datasets match per-image true-resolution semantics
+(`/root/reference/tools/make_datasets.py:38-45`). --bucket_all restores
+all-bucketed rendering for speed at documented fidelity cost.
+
 Usage:
   python tools/make_datasets.py --dataset_root data/coco/val2017 \
       --out_root data --out_file coco-C [--corruptions gaussian_noise,fog]
@@ -49,7 +61,19 @@ def parse():
     p.add_argument("--bucket_quantum", type=int, default=160,
                    help="pad each image dimension up to a multiple of this "
                         "(bounds the number of compiled programs)")
+    p.add_argument("--bucket_all", action="store_true",
+                   help="bucket canvas-sensitive corruptions too (faster, "
+                        "deviates from per-image true-resolution rendering)")
     return p.parse_args()
+
+
+# Output inside the original region depends on the padded canvas for these
+# (global statistics / canvas-sized layers / size-derived grids); they run
+# at exact source resolution unless --bucket_all.
+CANVAS_SENSITIVE = frozenset({
+    "contrast", "fog", "frost", "snow", "spatter", "elastic_transform",
+    "pixelate", "jpeg_compression", "zoom_blur", "glass_blur",
+})
 
 
 def main():
@@ -77,23 +101,6 @@ def main():
 
     from PIL import Image
 
-    q = max(1, args.bucket_quantum)
-
-    def bucket_of(h, w):
-        return (-(-h // q) * q, -(-w // q) * q)
-
-    # Pass 1: header-only reads to assign size classes (no pixel decode).
-    buckets = defaultdict(list)
-    for f in files:
-        try:
-            with Image.open(os.path.join(args.dataset_root, f)) as im:
-                w, h = im.size
-        except Exception:
-            print(f"!! failed to read {f}")
-            continue
-        buckets[bucket_of(h, w)].append(f)
-    print(f"=> {len(buckets)} size classes (quantum {q})")
-
     out_base = os.path.join(args.out_root, args.out_file)
     for name in names:
         for severity in range(1, 6):
@@ -111,48 +118,79 @@ def main():
             )
         return compiled[sig](batch, key)
 
-    # Pass 2: per bucket, decode one chunk at a time and run every
-    # (corruption, severity) on it before moving on — each chunk's pixels
-    # are read exactly once and RAM holds at most one padded chunk.
-    for (bh, bw), items in buckets.items():
-        for start in range(0, len(items), args.batch):
-            chunk_files = items[start : start + args.batch]
-            imgs, sizes = [], []
-            for fname in chunk_files:
-                img = cv2.imread(
-                    os.path.join(args.dataset_root, fname), cv2.IMREAD_COLOR
-                )
-                if img is None:
-                    print(f"!! failed to read {fname}")
-                    continue
-                rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                h, w = rgb.shape[:2]
-                sizes.append((fname, h, w))
-                # edge-replicate pad up to the size class; cropped back below
-                imgs.append(
-                    np.pad(rgb, ((0, bh - h), (0, bw - w), (0, 0)),
-                           mode="edge")
-                )
-            if not imgs:
-                continue
-            pad_n = args.batch - len(imgs) if len(items) > args.batch else 0
-            arr = np.stack(imgs + [imgs[-1]] * pad_n).astype(np.float32)
-            for name in names:
-                for severity in range(1, 6):
-                    outdir = os.path.join(out_base, name, str(severity - 1))
-                    # deterministic per-render seed, mirroring the
-                    # np.random.seed(1) before each corrupt call (:40)
-                    key = jax.random.PRNGKey(1)
-                    out = np.asarray(
-                        apply(name, severity, jnp.asarray(arr), key)
+    # Header-only reads to assign size classes (no pixel decode).
+    dims = {}
+    for f in files:
+        try:
+            with Image.open(os.path.join(args.dataset_root, f)) as im:
+                dims[f] = (im.size[1], im.size[0])  # (h, w)
+        except Exception:
+            print(f"!! failed to read {f}")
+
+    def run_group(group_names, quantum):
+        if not group_names:
+            return
+        q = max(1, quantum)
+        buckets = defaultdict(list)
+        for f, (h, w) in dims.items():
+            buckets[(-(-h // q) * q, -(-w // q) * q)].append(f)
+        print(f"=> {len(group_names)} corruptions over {len(buckets)} size "
+              f"classes (quantum {q})")
+
+        # Per bucket, decode one chunk at a time and run every
+        # (corruption, severity) on it before moving on — each chunk's
+        # pixels are read once per group and RAM holds one padded chunk.
+        for (bh, bw), items in buckets.items():
+            for start in range(0, len(items), args.batch):
+                chunk_files = items[start : start + args.batch]
+                imgs, sizes = [], []
+                for fname in chunk_files:
+                    img = cv2.imread(
+                        os.path.join(args.dataset_root, fname),
+                        cv2.IMREAD_COLOR,
                     )
-                    out = np.clip(out, 0, 255).astype(np.uint8)
-                    for (fname, h, w), im in zip(sizes, out):
-                        cv2.imwrite(
-                            os.path.join(outdir, os.path.basename(fname)),
-                            cv2.cvtColor(im[:h, :w], cv2.COLOR_RGB2BGR),
+                    if img is None:
+                        print(f"!! failed to read {fname}")
+                        continue
+                    rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                    h, w = rgb.shape[:2]
+                    sizes.append((fname, h, w))
+                    # edge-replicate pad up to the size class; cropped below
+                    imgs.append(
+                        np.pad(rgb, ((0, bh - h), (0, bw - w), (0, 0)),
+                               mode="edge")
+                    )
+                if not imgs:
+                    continue
+                pad_n = (args.batch - len(imgs)
+                         if len(items) > args.batch else 0)
+                arr = np.stack(imgs + [imgs[-1]] * pad_n).astype(np.float32)
+                for name in group_names:
+                    for severity in range(1, 6):
+                        outdir = os.path.join(out_base, name,
+                                              str(severity - 1))
+                        # deterministic per-render seed, mirroring the
+                        # np.random.seed(1) before each corrupt call (:40)
+                        key = jax.random.PRNGKey(1)
+                        out = np.asarray(
+                            apply(name, severity, jnp.asarray(arr), key)
                         )
-        print(f"=> size class ({bh}, {bw}) done ({len(items)} images)")
+                        out = np.clip(out, 0, 255).astype(np.uint8)
+                        for (fname, h, w), im in zip(sizes, out):
+                            cv2.imwrite(
+                                os.path.join(
+                                    outdir, os.path.basename(fname)),
+                                cv2.cvtColor(im[:h, :w], cv2.COLOR_RGB2BGR),
+                            )
+            print(f"=> size class ({bh}, {bw}) done ({len(items)} images)")
+
+    if args.bucket_all:
+        run_group(names, args.bucket_quantum)
+    else:
+        run_group([n for n in names if n not in CANVAS_SENSITIVE],
+                  args.bucket_quantum)
+        # canvas-sensitive corruptions at exact resolution (quantum 1)
+        run_group([n for n in names if n in CANVAS_SENSITIVE], 1)
     print(f"=> wrote corruption dataset under {out_base}")
 
 

@@ -25,9 +25,7 @@ if os.environ.get("ADVMIX_PLATFORM"):
 from _parse import parse_args  # noqa: E402
 
 
-def analyze_trace(trace_dir: str, n_steps: int) -> list:
-    """Sum device events by hlo_category from the newest trace dump."""
-    import collections
+def _load_trace(trace_dir: str) -> dict:
     import glob
     import gzip
     import json
@@ -38,7 +36,49 @@ def analyze_trace(trace_dir: str, n_steps: int) -> list:
     if not paths:
         raise FileNotFoundError(f"no trace under {trace_dir}")
     with gzip.open(paths[-1]) as f:
-        data = json.load(f)
+        return json.load(f)
+
+
+def analyze_kernels(trace_dir: str, n_steps: int,
+                    peak_gbs: float = 663.0, peak_tflops: float = 197.0):
+    """Per-kernel roofline: for every HLO op, sum device time and
+    bytes_accessed/flops across steps, and compare achieved bandwidth and
+    FLOP rate against the MEASURED chip peaks (tools/hbm_peak.py for the
+    bandwidth; bf16 MXU spec for flops). A kernel's speed-of-light time is
+    max(bytes/peak_bw, flops/peak_flops); the sum over kernels bounds the
+    step time from below under perfect scheduling."""
+    import collections
+
+    data = _load_trace(trace_dir)
+    agg = collections.defaultdict(lambda: [0.0, 0, 0, 0])  # dur, bytes, flops, count
+    for e in data["traceEvents"]:
+        if e.get("ph") != "X":
+            continue
+        a = e.get("args", {})
+        c = a.get("hlo_category")
+        if c is None or c == "while":
+            continue
+        k = e.get("name", "?")
+        agg[k][0] += e["dur"]
+        agg[k][1] += int(a.get("bytes_accessed", 0))
+        agg[k][2] += int(float(a.get("model_flops", 0)))
+        agg[k][3] += 1
+    rows = []
+    for k, (dur, byt, fl, cnt) in agg.items():
+        t_ms = dur / n_steps / 1e3
+        gb = byt / n_steps / 1e9
+        gfl = fl / n_steps / 1e9
+        sol_ms = max(gb / peak_gbs * 1e3, gfl / (peak_tflops * 1e3) * 1e3)
+        rows.append((k, t_ms, gb, gfl, sol_ms, cnt // max(n_steps, 1)))
+    rows.sort(key=lambda r: -r[1])
+    return rows
+
+
+def analyze_trace(trace_dir: str, n_steps: int) -> list:
+    """Sum device events by hlo_category from the newest trace dump."""
+    import collections
+
+    data = _load_trace(trace_dir)
 
     cat_t = collections.Counter()
     cat_b = collections.Counter()
@@ -69,6 +109,11 @@ def main(argv=None):
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--profile_steps", type=int, default=5)
     extra.add_argument("--trace_dir", type=str, default="/tmp/advmix_trace")
+    extra.add_argument("--per_kernel", type=int, default=0,
+                       help="also print the top-N kernels with per-kernel "
+                            "roofline (vs measured peaks)")
+    extra.add_argument("--peak_gbs", type=float, default=663.0,
+                       help="measured HBM bandwidth (tools/hbm_peak.py)")
     extra_args, rest = extra.parse_known_args(argv)
     args = parse_args(rest)
 
@@ -159,6 +204,22 @@ def main(argv=None):
     print(f"{'TOTAL':28s} {tot_t:9.2f} {tot_b:9.2f} "
           f"{tot_b * 1e3 / max(tot_t, 1e-9):7.0f}")
     print(f"=> {bs * 1e3 / max(tot_t, 1e-9):.1f} img/s device-side")
+
+    if extra_args.per_kernel:
+        krows = analyze_kernels(extra_args.trace_dir, n,
+                                peak_gbs=extra_args.peak_gbs)
+        sol_total = sum(r[4] for r in krows)
+        print(f"\n=== top {extra_args.per_kernel} kernels "
+              f"(roofline vs measured {extra_args.peak_gbs:.0f} GB/s) ===")
+        print(f"{'kernel':48s} {'ms':>7s} {'GB':>7s} {'GFLOP':>8s} "
+              f"{'SoL ms':>7s} {'x':>5s} {'n':>3s}")
+        for k, t, b, fl, sol, cnt in krows[: extra_args.per_kernel]:
+            ratio = t / sol if sol > 0 else float("inf")
+            print(f"{k[:48]:48s} {t:7.2f} {b:7.2f} {fl:8.1f} {sol:7.2f} "
+                  f"{ratio:5.1f} {cnt:3d}")
+        print(f"speed-of-light sum (all kernels): {sol_total:.1f} ms "
+              f"({bs * 1e3 / max(sol_total, 1e-9):.0f} img/s); "
+              f"measured {tot_t:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -94,10 +94,9 @@ def main(argv=None):
         variables = load_torch_checkpoint(model_file, dict(variables))
         logger.info(f"=> loaded torch model {model_file}")
     elif os.path.isdir(model_file):
-        import orbax.checkpoint as ocp
+        from advmix_tpu.engine.checkpoint import load_final_state
 
-        params = ocp.PyTreeCheckpointer().restore(os.path.abspath(model_file))
-        variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        variables = load_final_state(model_file, dict(variables))
         logger.info(f"=> loaded model {model_file}")
     else:
         logger.warning(f"=> no model file at {model_file}; evaluating random init")
@@ -151,9 +150,12 @@ def main(argv=None):
         cfg.freeze()
 
         dataset = build_dataset(cfg, is_train=False)
+        n_proc = jax.process_count()
+        local_dev = max(1, mesh.devices.size // n_proc)
         loader = Loader(
-            dataset, cfg.TEST.BATCH_SIZE_PER_GPU * mesh.devices.size,
+            dataset, cfg.TEST.BATCH_SIZE_PER_GPU * local_dev,
             shuffle=False,
+            num_shards=n_proc, shard_index=jax.process_index(),
         )
         cfg.defrost()
         cfg.TEST.TEST_ROBUST = True

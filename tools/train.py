@@ -117,6 +117,8 @@ def main(argv=None):
                 g_params = ocp.PyTreeCheckpointer().restore(
                     os.path.abspath(args.load_from_G)
                 )
+                if isinstance(g_params, dict) and "params" in g_params:
+                    g_params = g_params["params"]
                 state = state.replace(params_g=g_params)
                 logger.info(f"=> loaded G from {args.load_from_G}")
         if bottomup:
@@ -187,10 +189,12 @@ def main(argv=None):
                           raw_mode=device_warp,
                           bucket_hw=tuple(cfg.DATASET.WARP_BUCKET),
                           **shard_kw)
-    # eval stays unsharded: validate() accumulates (N, J, 3) host-side and
-    # runs COCOeval/PCKh per process; sharding it would need a cross-host
-    # gather of predictions
-    valid_loader = Loader(valid_dataset, test_batch, shuffle=False)
+    # eval is sharded too: each process evaluates only its slice, then
+    # validate() allgathers predictions and runs COCOeval/PCKh on
+    # process 0 (an N-host corruption sweep does 1/N of the decode work
+    # per host instead of all of it)
+    valid_loader = Loader(valid_dataset, test_batch, shuffle=False,
+                          **shard_kw)
     if device_warp:
         logger.info("=> device-warp input pipeline (host decodes only; "
                     f"bucket {tuple(cfg.DATASET.WARP_BUCKET)})")
@@ -278,7 +282,11 @@ def main(argv=None):
         ckpt.save(epoch, jax.device_get(state), perf, is_best)
 
     params = state.params_d if advmix else state.params
-    final = export_final_state(output_dir, jax.device_get(params))
+    stats = state.batch_stats_d if advmix else state.batch_stats
+    final = export_final_state(
+        output_dir,
+        jax.device_get({"params": params, "batch_stats": stats}),
+    )
     logger.info(f"=> final state saved to {final}")
     writer.close()
 

@@ -181,6 +181,8 @@ def get_default_config() -> ConfigNode:
     # batched on device (Loader raw_mode + ops/transforms.warp_affine).
     # WARP_BUCKET (h, w) must cover the dataset's largest image.
     c.DATASET.DEVICE_WARP = False
+    # size of the synthetic marker dataset (tests / robustness demo)
+    c.DATASET.SYNTH_LENGTH = 64
     c.DATASET.WARP_BUCKET = [640, 640]
     c.DATASET.VAL_FG = False
     c.DATASET.VAL_MASK = False

@@ -325,7 +325,24 @@ class SyntheticPoseDataset(BaseJointsDataset):
 
     def evaluate(self, cfg, preds, output_dir, all_boxes=None, img_path=None,
                  **kwargs):
-        return {"Null": 0.0}, 0.0
+        """PCK@0.1 in original-image coordinates against the exactly-known
+        synthetic GT — a real accuracy metric so corruption sweeps over
+        the synthetic task produce meaningful mPC/rPC (the AdvMix
+        robustness demo, VERDICT r2 next #5)."""
+        from collections import OrderedDict
+
+        n = min(preds.shape[0], len(self.records))
+        hits = total = 0
+        for i in range(n):
+            rec = self.records[i]
+            gt = np.asarray(rec["joints_3d"])[:, :2]
+            vis = np.asarray(rec["joints_3d_vis"])[:, 0] > 0
+            thr = 0.1 * 200.0 * float(np.max(rec["scale"]))
+            d = np.linalg.norm(preds[i, :, :2] - gt, axis=1)
+            hits += int(np.sum((d < thr) & vis))
+            total += int(np.sum(vis))
+        pck = hits / max(total, 1)
+        return OrderedDict([("PCK", pck)]), pck
 
 
 def build_dataset(cfg, is_train: bool, image_set: Optional[str] = None):
@@ -340,7 +357,9 @@ def build_dataset(cfg, is_train: bool, image_set: Optional[str] = None):
 
         return BottomUpCOCODataset(cfg, is_train, image_set)
     if name == "synthetic":
-        return SyntheticPoseDataset(cfg, is_train)
+        return SyntheticPoseDataset(
+            cfg, is_train, length=int(getattr(cfg.DATASET, "SYNTH_LENGTH", 64))
+        )
     raise KeyError(f"unknown dataset '{name}'")
 
 
@@ -489,7 +508,9 @@ class DeviceWarpMixin:
                 joints[j, 0:2] = affine_transform(joints[j, 0:2], trans)
 
         bh, bw = bucket_hw
-        padded = np.zeros((bh, bw, 3), np.uint8)
+        # empty + margin-only zeroing: a full np.zeros writes the whole
+        # 1.2 MB bucket before the image overwrites most of it
+        padded = np.empty((bh, bw, 3), np.uint8)
         h0, w0 = min(img.shape[0], bh), min(img.shape[1], bw)
         if img.shape[0] > bh or img.shape[1] > bw:
             # a cropped source silently corrupts any crop window touching
@@ -505,6 +526,10 @@ class DeviceWarpMixin:
                     (bh, bw), img.shape[:2], rec["image"],
                 )
         padded[:h0, :w0] = img[:h0, :w0]
+        if w0 < bw:
+            padded[:h0, w0:] = 0
+        if h0 < bh:
+            padded[h0:] = 0
 
         return dict(
             image=padded,

@@ -292,7 +292,12 @@ def make_advmix_step(
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=0)
+    fn = jax.jit(sharded, donate_argnums=0)
+    # callers that fuse preprocessing into one program (bench.py) trace
+    # the unjitted shard_map directly — the nested-jit boundary otherwise
+    # pins default layouts and costs two full-batch layout copies
+    fn.sharded = sharded
+    return fn
 
 
 # ---------------------------------------------------------------------------

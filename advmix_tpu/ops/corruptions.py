@@ -268,12 +268,15 @@ def defocus_blur(x, severity, key=None):
     return _clip01(_conv2d_same(x / 255.0, k)) * 255.0
 
 
-def _motion_kernels(length: int, sigma: float, n_angles: int = 16) -> np.ndarray:
-    """Bank of gaussian-weighted line kernels at angles in (-45, 45)."""
+def _motion_kernels(length: int, sigma: float, n_angles: int = 16,
+                    angle_range=(-45.0, 45.0)) -> np.ndarray:
+    """Bank of gaussian-weighted line kernels over `angle_range` (the
+    original draws a continuous uniform angle from that range,
+    imagecorruptions motion_blur / snow)."""
     size = length if length % 2 == 1 else length + 1
     half = size // 2
     kernels = []
-    for a in np.linspace(-45, 45, n_angles):
+    for a in np.linspace(angle_range[0], angle_range[1], n_angles):
         rad = math.radians(a)
         dx, dy = math.cos(rad), math.sin(rad)
         k = np.zeros((size, size), np.float32)
@@ -310,6 +313,28 @@ def motion_blur(x, severity, key):
     return _clip01(out) * 255.0
 
 
+def _clipped_zoom_matrix(h: int, w: int, zf: float) -> np.ndarray:
+    """Forward (src->dst) affine reproducing imagecorruptions'
+    `clipped_zoom`: center-crop ceil(dim/zf), scipy.ndimage.zoom order=1
+    (endpoint-aligned mapping in = out*(in-1)/(out-1)), then top-left
+    truncation to (h, w). All sample coords stay interior, so bilinear
+    warp == the scipy chain exactly."""
+    ch0 = int(np.ceil(h / float(zf)))
+    top0 = (h - ch0) // 2
+    ch1 = int(np.ceil(w / float(zf)))
+    top1 = (w - ch1) // 2
+    oh = int(round(ch0 * zf))
+    ow = int(round(ch1 * zf))
+    sy = (ch0 - 1) / (oh - 1) if oh > 1 else 0.0
+    sx = (ch1 - 1) / (ow - 1) if ow > 1 else 0.0
+    # dst->src: src = top + dst*s ; warp_affine wants forward src->dst
+    fy = 1.0 / sy if sy else 1.0
+    fx = 1.0 / sx if sx else 1.0
+    return np.array(
+        [[fx, 0, -top1 * fx], [0, fy, -top0 * fy]], np.float32
+    )
+
+
 def zoom_blur(x, severity, key=None):
     c = [
         np.arange(1, 1.11, 0.01),
@@ -322,14 +347,7 @@ def zoom_blur(x, severity, key=None):
     x01 = x / 255.0
     acc = jnp.zeros_like(x01)
     for factor in c:
-        # center zoom: dst pixel samples src at center + (p - center)/factor
-        m = np.array(
-            [
-                [factor, 0, (1 - factor) * (w / 2.0)],
-                [0, factor, (1 - factor) * (h / 2.0)],
-            ],
-            np.float32,
-        )
+        m = _clipped_zoom_matrix(h, w, float(factor))
         mats = jnp.broadcast_to(jnp.asarray(m), (b, 2, 3))
         acc = acc + warp_affine(x01, mats, (w, h))
     out = (x01 + acc) / (len(c) + 1)
@@ -357,44 +375,76 @@ def glass_blur(x, severity, key):
 # weather family
 # ---------------------------------------------------------------------------
 
-def _plasma_fractal(key, mapsize: int, wibbledecay: float) -> jnp.ndarray:
-    """Diamond-square plasma fractal in [0, 1], (mapsize, mapsize)."""
-    arr = jnp.zeros((mapsize, mapsize), jnp.float32)
-    arr = arr.at[0, 0].set(1.0)  # original seeds corner at maximum
+def plasma_noise_shapes(mapsize: int):
+    """Per-level noise shapes consumed by `_plasma_core` (square step,
+    then the two diamond fills), outermost level first."""
+    shapes = []
     stepsize = mapsize
-    wibble = 100.0
+    while stepsize >= 2:
+        n = mapsize // stepsize
+        shapes.append(((n, n), (n, n), (n, n)))
+        stepsize //= 2
+    return shapes
 
-    def rand_like(k, shape, w):
-        return (jax.random.uniform(k, shape) - 0.5) * w
+
+def _plasma_core(noises, mapsize: int) -> jnp.ndarray:
+    """Diamond-square plasma fractal in [0, 1], (mapsize, mapsize),
+    mirroring imagecorruptions' mapgen-derived `plasma_fractal` roll
+    conventions EXACTLY (fillsquares: +1 rolls on the corner grid;
+    filldiamonds: drgrid +1 / ulgrid -1 rolls — including its wraparound
+    quirk) so a same-draws numpy oracle matches bit-level
+    (tests/test_corruptions.py). `noises` carries the pre-scaled wibble
+    draws per level as produced by `plasma_noise_shapes` order."""
+    arr = jnp.zeros((mapsize, mapsize), jnp.float32)
+    stepsize = mapsize
+    level = 0
 
     while stepsize >= 2:
         half = stepsize // 2
-        key, k1, k2, k3 = jax.random.split(key, 4)
-        # square step
-        sub = arr[::stepsize, ::stepsize]
-        n = sub.shape[0]
-        squares = (
-            sub + jnp.roll(sub, -1, 0) + jnp.roll(sub, -1, 1)
-            + jnp.roll(jnp.roll(sub, -1, 0), -1, 1)
-        ) / 4.0
-        squares = squares + rand_like(k1, squares.shape, wibble)
-        arr = arr.at[half::stepsize, half::stepsize].set(squares)
-        # diamond step
-        centers = arr[half::stepsize, half::stepsize]
-        up = arr[::stepsize, ::stepsize]
-        ldr = (
-            centers + jnp.roll(centers, 1, 1) + up + jnp.roll(up, -1, 0)
-        ) / 4.0 + rand_like(k2, centers.shape, wibble)
-        arr = arr.at[half::stepsize, ::stepsize].set(ldr)
-        tdr = (
-            centers + jnp.roll(centers, 1, 0) + up + jnp.roll(up, -1, 1)
-        ) / 4.0 + rand_like(k3, centers.shape, wibble)
-        arr = arr.at[::stepsize, half::stepsize].set(tdr)
+        sq_n, ldr_n, tdr_n = noises[level]
+        # fillsquares
+        cornerref = arr[::stepsize, ::stepsize]
+        squareaccum = cornerref + jnp.roll(cornerref, 1, axis=0)
+        squareaccum = squareaccum + jnp.roll(squareaccum, 1, axis=1)
+        arr = arr.at[half::stepsize, half::stepsize].set(
+            squareaccum / 4.0 + sq_n
+        )
+        # filldiamonds
+        drgrid = arr[half::stepsize, half::stepsize]
+        ulgrid = arr[::stepsize, ::stepsize]
+        ldrsum = drgrid + jnp.roll(drgrid, 1, axis=0)
+        lulsum = ulgrid + jnp.roll(ulgrid, -1, axis=1)
+        arr = arr.at[0::stepsize, half::stepsize].set(
+            (ldrsum + lulsum) / 4.0 + ldr_n
+        )
+        tdrsum = drgrid + jnp.roll(drgrid, 1, axis=1)
+        tulsum = ulgrid + jnp.roll(ulgrid, -1, axis=0)
+        arr = arr.at[half::stepsize, 0::stepsize].set(
+            (tdrsum + tulsum) / 4.0 + tdr_n
+        )
         stepsize //= 2
-        wibble /= wibbledecay
+        level += 1
 
     arr = arr - arr.min()
     return arr / (arr.max() + 1e-8)
+
+
+def _plasma_fractal(key, mapsize: int, wibbledecay: float) -> jnp.ndarray:
+    """Draw the per-level wibble noises (uniform(-wibble, wibble), wibble
+    starting at 100 and divided by `wibbledecay` per level — the standard
+    linear diamond-square amplitude schedule) and run `_plasma_core`."""
+    noises = []
+    wibble = 100.0
+    for shapes in plasma_noise_shapes(mapsize):
+        level_noises = []
+        for shape in shapes:
+            key, k = jax.random.split(key)
+            level_noises.append(
+                (jax.random.uniform(k, shape) * 2.0 - 1.0) * wibble
+            )
+        noises.append(tuple(level_noises))
+        wibble /= wibbledecay
+    return _plasma_core(noises, mapsize)
 
 
 def _next_pow2(n):
@@ -450,57 +500,84 @@ def snow(x, severity, key):
     k1, k2 = jax.random.split(key)
     x01 = x / 255.0
     layer = jax.random.normal(k1, (b, h, w, 1)) * scale + loc
-    # zoom the snow layer
-    m = np.array(
-        [[zoom, 0, (1 - zoom) * w / 2.0], [0, zoom, (1 - zoom) * h / 2.0]],
-        np.float32,
-    )
+    # zoom the snow layer with clipped_zoom semantics (crop->scizoom->trim)
+    m = _clipped_zoom_matrix(h, w, zoom)
     mats = jnp.broadcast_to(jnp.asarray(m), (b, 2, 3))
     layer = warp_affine(layer, mats, (w, h))
     layer = jnp.where(layer < thresh, 0.0, layer)
-    # motion-blur the flakes
-    bank = _motion_kernels(blur_len, blur_sig, 8)  # numpy constants
+    # motion-blur the flakes; the original draws angle ~ U(-135, -45)
+    bank = _motion_kernels(blur_len, blur_sig, 8, angle_range=(-135.0, -45.0))
     idx = jax.random.randint(k2, (b,), 0, bank.shape[0])
     outs = jnp.stack(
         [_conv2d_same(layer, bank[a]) for a in range(bank.shape[0])]
     )
     layer = jnp.take_along_axis(outs, idx[None, :, None, None, None], axis=0)[0]
-    # darken the scene toward gray then add the snow layer twice (the
-    # original adds the layer and its rotation; one pass suffices for
-    # distribution parity)
-    gray = jnp.mean(x01, axis=-1, keepdims=True)
+    # the original rounds the blurred layer to uint8 range
+    layer = jnp.round(layer * 255.0) / 255.0
+    # darken toward a brightened luma (cv2 RGB2GRAY weights), then add the
+    # snow layer AND its 180-degree rotation (np.rot90(snow_layer, k=2))
+    gray = (
+        0.299 * x01[..., 0:1] + 0.587 * x01[..., 1:2] + 0.114 * x01[..., 2:3]
+    )
     darkened = jnp.maximum(x01, gray * 1.5 + 0.5)
     out = blend * x01 + (1 - blend) * darkened
-    return _clip01(out + layer) * 255.0
+    return _clip01(out + layer + layer[:, ::-1, ::-1, :]) * 255.0
 
 
 def spatter(x, severity, key):
-    loc, scale, sigma, thresh, mud = [
-        (0.65, 0.3, 4, 0.69, 0.6),
-        (0.65, 0.3, 3, 0.68, 0.6),
-        (0.65, 0.3, 2, 0.68, 0.5),
-        (0.65, 0.3, 1, 0.65, 1.5),
-        (0.67, 0.4, 1, 0.65, 1.5),
+    """Spatter (holdout corruption). Config tuples follow imagecorruptions
+    (loc, scale, blur sigma, threshold, intensity, mud-flag): severities
+    1-3 are the water arm, 4-5 the mud arm.
+
+    The mud arm reproduces the published formula exactly (threshold ->
+    re-blur -> 0.8 cut -> mud-brown replace; oracle-tested). The water
+    arm's published form runs a cv2 chain (Canny -> distanceTransform ->
+    equalizeHist -> emboss) that has no sane batched-TPU equivalent; ours
+    keeps its published skeleton (blurred liquid field, threshold,
+    droplet-edge emphasis, pale-turquoise additive color scaled by c[4])
+    with a gradient-magnitude edge term standing in for the cv2 chain —
+    distribution-level parity only, quantified in tests."""
+    loc, scale, sigma, thresh, inten, is_mud = [
+        (0.65, 0.3, 4, 0.69, 0.6, 0),
+        (0.65, 0.3, 3, 0.68, 0.6, 0),
+        (0.65, 0.3, 2, 0.68, 0.5, 0),
+        (0.65, 0.3, 1, 0.65, 1.5, 1),
+        (0.67, 0.4, 1, 0.65, 1.5, 1),
     ][severity - 1]
-    water = severity <= 2  # first two severities are water, rest mud
     b, h, w, _ = x.shape
     x01 = x / 255.0
     liquid = jax.random.normal(key, (b, h, w, 1)) * scale + loc
     liquid = _sep_blur(liquid, sigma)
-    mask = (liquid > thresh).astype(jnp.float32)
-    if water:
-        dist = _sep_blur(mask, 1.5)
+    if not is_mud:
+        wet = jnp.where(liquid < thresh, 0.0, liquid)
+        # droplet-edge emphasis in place of Canny/distance-transform:
+        # normalized gradient magnitude of the wet field
+        gy = jnp.abs(jnp.diff(wet, axis=1, prepend=wet[:, :1]))
+        gx = jnp.abs(jnp.diff(wet, axis=2, prepend=wet[:, :, :1]))
+        edge = _sep_blur(gy + gx, 1.0)
+        edge = edge / (
+            jnp.max(edge, axis=(1, 2, 3), keepdims=True) + 1e-8
+        )
+        m = wet * edge
+        m = m / (jnp.max(m, axis=(1, 2, 3), keepdims=True) + 1e-8)
+        m = m * inten
+        # water is pale turquoise: channel constants (175, 238, 238) apply
+        # in array order (the original's cv2 BGR<->BGRA converts only
+        # add/remove alpha; inputs are RGB, so RGB = (175, 238, 238))
         color = jnp.concatenate(
             [
-                0.7 * jnp.ones_like(mask) * 175 / 255.0,
-                0.7 * jnp.ones_like(mask) * 238 / 255.0,
-                0.7 * jnp.ones_like(mask),
+                jnp.ones_like(m) * 175 / 255.0,
+                jnp.ones_like(m) * 238 / 255.0,
+                jnp.ones_like(m) * 238 / 255.0,
             ],
             axis=-1,
         )
-        return _clip01(x01 + color * dist) * 255.0
+        return _clip01(x01 + m * color) * 255.0
     else:
-        m = jnp.where(liquid > thresh, liquid * mud, 0.0)
+        m = (liquid > thresh).astype(jnp.float32)
+        m = _sep_blur(m, sigma)
+        m = jnp.where(m < 0.8, 0.0, m)
+        # mud brown, array order (63, 42, 20)
         color = jnp.concatenate(
             [m * 63 / 255.0, m * 42 / 255.0, m * 20 / 255.0], axis=-1
         )

@@ -38,7 +38,9 @@ measured bandwidth is ~660-700 img/s (PERF.md). vs_baseline keeps the
 driver's definition regardless.
 
 Env knobs: BENCH_BATCH (per-chip batch, default 128; measured 188, 275, 417 img/s at 32, 64, 128), BENCH_DTYPE
-(bfloat16|float32, default bfloat16), BENCH_STEPS (default 20).
+(bfloat16|float32, default bfloat16), BENCH_STEPS (default 20),
+BENCH_LOADER=1 (also run the real host Loader on synthetic JPEGs,
+tools/loader_bench.py, and report host img/s next to device img/s).
 """
 
 import json
@@ -122,6 +124,11 @@ def main():
 
     import functools
 
+    # trace the unjitted shard_map body: a nested jit call pins default
+    # layouts at its boundary and costs two full-batch (113 MB) layout
+    # copies of the views tensor per step
+    adv_step_body = getattr(adv_step, "sharded", adv_step)
+
     @functools.partial(jax.jit, donate_argnums=0)
     def full_step(st, raw, key):
         views = make_advmix_views(raw["clean"], key, out_dtype=dtype,
@@ -131,7 +138,7 @@ def main():
             "target": raw["target"],
             "target_weight": raw["target_weight"],
         }
-        return adv_step(st, batch)
+        return adv_step_body(st, batch)
 
     def sync(st, metrics):
         # block_until_ready can return early through the axon relay; a real
@@ -183,6 +190,16 @@ def main():
         out["achieved_tflops_per_chip"] = round(
             img_s_chip * gflops_per_img / 1e3, 2
         )
+    if os.environ.get("BENCH_LOADER"):
+        # full-system view: the real Loader on synthetic JPEGs (decode +
+        # warp per sample). This container has 1-2 cores; a real v5e host
+        # scales by thread count (tools/loader_bench.py prints the
+        # per-thread rate and required cores).
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from loader_bench import loader_bench
+
+        out["host_loader"] = loader_bench(n=128)
     print(json.dumps(out))
 
 

@@ -252,6 +252,10 @@ def test_cross_replica_bn():
         )
         st = replicate(st, mesh)
         step = steps.make_train_step(model, tx, cfg, mesh)
+        # snapshot BEFORE stepping: the step donates its state arg, so
+        # the pre-step buffers are deleted afterwards
+        params0 = jax.device_get(st.params)
+        stats0 = jax.device_get(st.batch_stats)
         rng = np.random.RandomState(0)
         b = _batch(rng)
         # make per-shard distributions differ so per-replica stats differ
@@ -263,9 +267,10 @@ def test_cross_replica_bn():
             mesh,
         )
         st2, _ = step(st, batch)
-        return st, jnp.asarray(img), jax.tree.map(np.asarray, st2.batch_stats)
+        return (params0, stats0), jnp.asarray(img), jax.tree.map(
+            np.asarray, st2.batch_stats)
 
-    st0, img, stats_sync = run(True)
+    (params0, stats0), img, stats_sync = run(True)
     _, _, stats_per = run(False)
 
     # the flag changes the stored statistics
@@ -277,8 +282,7 @@ def test_cross_replica_bn():
 
     # sync stats == single-device global-batch forward
     _, mut = model.apply(
-        {"params": jax.device_get(st0.params),
-         "batch_stats": jax.device_get(st0.batch_stats)},
+        {"params": params0, "batch_stats": stats0},
         img, train=True, mutable=["batch_stats"],
     )
     want = jax.tree.map(np.asarray, mut["batch_stats"])

@@ -80,10 +80,20 @@ def main(argv=None):
             model, model_g, tx, tx_g, rng, sample,
             gen_input_chn=args.gen_input_chn,
         )
+        if dict(cfg.MODEL.EXTRA).get("HE_INIT"):
+            state = state.replace(params_d=models.he_reinit_convs(
+                state.params_d, jax.random.PRNGKey(42)))
+            logger.info("=> HE_INIT: conv kernels re-initialized (He)")
         if args.load_from_D:
             variables = {"params": state.params_d,
                          "batch_stats": state.batch_stats_d}
-            loaded = load_torch_checkpoint(args.load_from_D, variables)
+            if os.path.isdir(args.load_from_D):
+                # native orbax final_state / weights dir
+                from advmix_tpu.engine.checkpoint import load_final_state
+
+                loaded = load_final_state(args.load_from_D, variables)
+            else:
+                loaded = load_torch_checkpoint(args.load_from_D, variables)
             state = state.replace(
                 params_d=loaded["params"],
                 batch_stats_d=loaded["batch_stats"],
@@ -134,6 +144,10 @@ def main(argv=None):
             )
     else:
         state = state_lib.create_pose_state(model, tx, rng, sample)
+        if dict(cfg.MODEL.EXTRA).get("HE_INIT"):
+            state = state.replace(params=models.he_reinit_convs(
+                state.params, jax.random.PRNGKey(42)))
+            logger.info("=> HE_INIT: conv kernels re-initialized (He)")
         if cfg.MODEL.INIT_WEIGHTS and os.path.isfile(cfg.MODEL.PRETRAINED):
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}

@@ -18,10 +18,16 @@ from ..native import greedy_from_matrix, oks_nms, soft_oks_nms
 from .cocoeval_np import COCOKeypointEval, STATS_NAMES
 
 # Per-image candidate count above which greedy OKS-NMS routes through the
-# Pallas OKS-matrix kernel on TPU (the O(N^2) OKS matrix dominates there;
-# the greedy scan stays on host in C++). Below it, per-image device
-# dispatch overhead exceeds the host numpy/C++ loop.
+# SINGLE-image Pallas OKS-matrix kernel on TPU (the O(N^2) OKS matrix
+# dominates there; the greedy scan stays on host in C++). Below it,
+# per-image device dispatch overhead exceeds the host numpy/C++ loop —
+# which is why the PRODUCTION path batches every image of the eval pass
+# into ONE padded launch instead (oks_matrix_batched_pallas, used when
+# the pass holds >= PALLAS_BATCHED_MIN_IMAGES images of 2..128
+# candidates).
 PALLAS_NMS_MIN_CANDIDATES = 96
+PALLAS_BATCHED_MIN_IMAGES = 16
+PALLAS_BATCHED_MAX_CANDIDATES = 128
 
 
 def _tpu_available() -> bool:
@@ -31,6 +37,34 @@ def _tpu_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _oks_matrices_batched(cand, num_joints, interpret: bool = False):
+    """One padded Pallas launch for all images' pairwise OKS matrices.
+
+    cand: list of (image_id, img_kpts). Images are padded to the max
+    candidate count (pow-2 rounded, <= 128); returns
+    {image_id: (n, n) float sim matrix}."""
+    from ..ops.pallas.oks_kernel import oks_matrix_batched_pallas
+
+    m = len(cand)
+    p = 1
+    maxn = max(len(kp) for _, kp in cand)
+    while p < maxn:
+        p *= 2
+    kpts = np.zeros((m, p, num_joints, 2), np.float32)
+    areas = np.zeros((m, p), np.float32)
+    for i, (_, img_kpts) in enumerate(cand):
+        for k, pp in enumerate(img_kpts):
+            kpts[i, k] = np.asarray(pp["keypoints"])[:, :2]
+            areas[i, k] = pp["area"]
+    sims = np.asarray(
+        oks_matrix_batched_pallas(kpts, areas, interpret=interpret)
+    )
+    return {
+        iid: sims[i][: len(kp), : len(kp)]
+        for i, (iid, kp) in enumerate(cand)
+    }
 
 
 def _oks_nms_pallas(kpts_flat: np.ndarray, scores: np.ndarray,
@@ -90,9 +124,8 @@ def evaluate_coco_keypoints(cfg, dataset, preds, output_dir, all_boxes, img_path
             )
         )
 
-    oks_nmsed = []
-    for image_id, img_kpts in by_image.items():
-        # rescore: kpt_score * box_score (coco.py:339-353)
+    # rescore: kpt_score * box_score (coco.py:339-353)
+    for img_kpts in by_image.values():
         for p in img_kpts:
             box_score = p["score"]
             kpt_scores = p["keypoints"][:, 2]
@@ -102,6 +135,19 @@ def evaluate_coco_keypoints(cfg, dataset, preds, output_dir, all_boxes, img_path
             )
             p["score"] = kpt_score * box_score
 
+    # production TPU path: every image's OKS matrix in ONE padded Pallas
+    # launch; greedy scans stay per-image on host C++
+    batched_sims = {}
+    if (not cfg.TEST.SOFT_NMS and _tpu_available()):
+        cand = [
+            (iid, kp) for iid, kp in by_image.items()
+            if 2 <= len(kp) <= PALLAS_BATCHED_MAX_CANDIDATES
+        ]
+        if len(cand) >= PALLAS_BATCHED_MIN_IMAGES:
+            batched_sims = _oks_matrices_batched(cand, dataset.num_joints)
+
+    oks_nmsed = []
+    for image_id, img_kpts in by_image.items():
         kpts_flat = np.array(
             [p["keypoints"].flatten() for p in img_kpts]
         )
@@ -109,6 +155,10 @@ def evaluate_coco_keypoints(cfg, dataset, preds, output_dir, all_boxes, img_path
         areas = np.array([p["area"] for p in img_kpts])
         if cfg.TEST.SOFT_NMS:
             keep = soft_oks_nms(kpts_flat, scores, areas, oks_thre)
+        elif image_id in batched_sims:
+            keep = greedy_from_matrix(
+                batched_sims[image_id], scores.astype(np.float32), oks_thre
+            )
         elif (len(img_kpts) >= PALLAS_NMS_MIN_CANDIDATES
               and _tpu_available()):
             keep = _oks_nms_pallas(kpts_flat, scores, areas, oks_thre)

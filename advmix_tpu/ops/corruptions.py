@@ -268,44 +268,59 @@ def defocus_blur(x, severity, key=None):
     return _clip01(_conv2d_same(x / 255.0, k)) * 255.0
 
 
-def _motion_kernels(length: int, sigma: float, n_angles: int = 16,
-                    angle_range=(-45.0, 45.0)) -> np.ndarray:
-    """Bank of gaussian-weighted line kernels over `angle_range` (the
-    original draws a continuous uniform angle from that range,
-    imagecorruptions motion_blur / snow)."""
-    size = length if length % 2 == 1 else length + 1
-    half = size // 2
-    kernels = []
-    for a in np.linspace(angle_range[0], angle_range[1], n_angles):
-        rad = math.radians(a)
-        dx, dy = math.cos(rad), math.sin(rad)
-        k = np.zeros((size, size), np.float32)
-        for t in np.linspace(-half, half, 4 * size):
-            xx = half + t * dx
-            yy = half + t * dy
-            x0, y0 = int(np.floor(xx)), int(np.floor(yy))
-            fx, fy = xx - x0, yy - y0
-            wgt = math.exp(-(t**2) / (2 * sigma**2))
-            for ddy, ddx, w2 in [
-                (0, 0, (1 - fx) * (1 - fy)),
-                (0, 1, fx * (1 - fy)),
-                (1, 0, (1 - fx) * fy),
-                (1, 1, fx * fy),
-            ]:
-                if 0 <= y0 + ddy < size and 0 <= x0 + ddx < size:
-                    k[y0 + ddy, x0 + ddx] += wgt * w2
-        k /= k.sum()
-        kernels.append(k)
-    return np.stack(kernels)
+def _streak_offsets(radius: int, sigma: float, angle_deg: float,
+                    h: int, w: int):
+    """Offsets + weights of imagecorruptions' `_motion_blur` shift loop,
+    verbatim: width = 2*radius+1 steps; step i shifts by
+    (-ceil(i*sin(a) - 0.5), -ceil(i*cos(a) - 0.5)) with weight
+    kern1d[i] from a CENTERED normalized gaussian of std sigma; the loop
+    breaks when the simulated motion exceeds the image borders (and does
+    NOT renormalize the lost mass — faithful quirk). The streak is
+    ONE-SIDED from the origin, so the blur displaces content toward the
+    motion direction (ImageMagick MotionBlur heritage)."""
+    width = 2 * radius + 1
+    n = np.arange(width, dtype=np.float64)
+    k1d = np.exp(-0.5 * ((n - (width - 1) / 2.0) / sigma) ** 2)
+    k1d = k1d / k1d.sum()
+    rad = math.radians(angle_deg)
+    offsets = []
+    for i in range(width):
+        dy = -int(math.ceil(i * math.sin(rad) - 0.5))
+        dx = -int(math.ceil(i * math.cos(rad) - 0.5))
+        if abs(dy) >= h or abs(dx) >= w:
+            break
+        offsets.append((dy, dx, float(k1d[i])))
+    return offsets
 
 
-def motion_blur(x, severity, key):
-    length, sigma = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][severity - 1]
-    bank = _motion_kernels(length, sigma)  # (A, k, k) numpy constants
+def _streak_blur(x: jnp.ndarray, radius: int, sigma: float,
+                 angle_deg: float) -> jnp.ndarray:
+    """Shift-accumulate motion streak (edge-clamped shifts), NHWC."""
+    b, h, w, c = x.shape
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    acc = jnp.zeros_like(x)
+    for dy, dx, wgt in _streak_offsets(radius, sigma, angle_deg, h, w):
+        # np.roll(img, (dy, dx)) + edge replication == clipped gather
+        yy = jnp.clip(ys - dy, 0, h - 1)
+        xx = jnp.clip(xs - dx, 0, w - 1)
+        acc = acc + wgt * x[:, yy][:, :, xx]
+    return acc
+
+
+def motion_blur(x, severity, key, n_angles: int = 16,
+                angle_range=(-45.0, 45.0)):
+    """Motion blur: the original draws angle ~ U(-45, 45) per image and
+    runs the one-sided shift loop; we discretize the angle draw into an
+    `n_angles` bank and select per image."""
+    radius, sigma = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][
+        severity - 1
+    ]
     b = x.shape[0]
-    idx = jax.random.randint(key, (b,), 0, bank.shape[0])
+    angles = np.linspace(angle_range[0], angle_range[1], n_angles)
+    idx = jax.random.randint(key, (b,), 0, n_angles)
     outs = jnp.stack(
-        [_conv2d_same(x / 255.0, bank[a]) for a in range(bank.shape[0])]
+        [_streak_blur(x / 255.0, radius, sigma, a) for a in angles]
     )  # (A, B, H, W, C)
     out = jnp.take_along_axis(
         outs, idx[None, :, None, None, None], axis=0
@@ -506,10 +521,10 @@ def snow(x, severity, key):
     layer = warp_affine(layer, mats, (w, h))
     layer = jnp.where(layer < thresh, 0.0, layer)
     # motion-blur the flakes; the original draws angle ~ U(-135, -45)
-    bank = _motion_kernels(blur_len, blur_sig, 8, angle_range=(-135.0, -45.0))
-    idx = jax.random.randint(k2, (b,), 0, bank.shape[0])
+    snow_angles = np.linspace(-135.0, -45.0, 8)
+    idx = jax.random.randint(k2, (b,), 0, len(snow_angles))
     outs = jnp.stack(
-        [_conv2d_same(layer, bank[a]) for a in range(bank.shape[0])]
+        [_streak_blur(layer, blur_len, blur_sig, a) for a in snow_angles]
     )
     layer = jnp.take_along_axis(outs, idx[None, :, None, None, None], axis=0)[0]
     # the original rounds the blurred layer to uint8 range

@@ -136,3 +136,86 @@ def test_config_yaml_roundtrip(tmp_path):
     # GPUS stays a tuple through list merges (yacs-compat coercion)
     cfg.merge_from_dict({"GPUS": [0, 1, 2]})
     assert cfg.GPUS == (0, 1, 2)
+
+
+def test_synthetic_dataset_pck_evaluate():
+    """SyntheticPoseDataset.evaluate is a real PCK@0.1 (robustness-demo
+    metric): exact GT predictions score 1.0, far-off ones 0.0, and
+    SYNTH_LENGTH sizes the dataset."""
+    import numpy as np
+
+    from advmix_tpu.config import get_default_config
+    from advmix_tpu.data.datasets import SyntheticPoseDataset
+
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.NUM_JOINTS = 8
+    cfg.DATASET.DATASET = "synthetic"
+    cfg.DATASET.SYNTH_LENGTH = 12
+    cfg.freeze()
+    from advmix_tpu.data import build_dataset
+
+    ds = build_dataset(cfg, is_train=False)
+    assert len(ds) == 12
+
+    preds = np.zeros((12, 8, 3), np.float32)
+    for i, r in enumerate(ds.records):
+        preds[i, :, :2] = r["joints_3d"][:, :2]
+    nv, perf = ds.evaluate(cfg, preds, "/tmp")
+    assert perf == 1.0 and nv["PCK"] == 1.0
+
+    nv, perf = ds.evaluate(cfg, preds + 1000.0, "/tmp")
+    assert perf == 0.0
+
+
+def test_profile_kernel_analysis_math(tmp_path):
+    """tools/profile.py analyze_kernels: per-kernel aggregation over
+    steps, model_flops parsing, and the max(bytes-bound, flops-bound)
+    speed-of-light, on a synthetic trace file."""
+    import gzip
+    import json
+    import os
+
+    import importlib.util
+
+    # load by path: the module name "profile" collides with stdlib
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))  # for its _parse import
+    spec = importlib.util.spec_from_file_location(
+        "advmix_profile_cli", os.path.join(repo, "tools", "profile.py"))
+    profile_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(profile_mod)
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = []
+    # kernel A: 2 calls/step x 2 steps, 1 GB + 1 GFLOP per call
+    for _ in range(4):
+        events.append({
+            "ph": "X", "name": "fusion.A", "dur": 500.0,
+            "args": {"hlo_category": "convolution fusion",
+                     "bytes_accessed": str(10**9),
+                     "model_flops": str(10**9)}})
+    # kernel B: flops-bound (tiny bytes, huge flops)
+    events.append({
+        "ph": "X", "name": "fusion.B", "dur": 2000.0,
+        "args": {"hlo_category": "loop fusion",
+                 "bytes_accessed": "1000",
+                 "model_flops": str(4 * 10**12)}})
+    with gzip.open(d / "x.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    rows = profile_mod.analyze_kernels(str(tmp_path), n_steps=2,
+                                       peak_gbs=500.0, peak_tflops=200.0)
+    by = {r[0]: r for r in rows}
+    _, t_ms, gb, gfl, sol, cnt = by["fusion.A"]
+    assert abs(t_ms - 1.0) < 1e-6          # 2 calls/step x 500us
+    assert abs(gb - 2.0) < 1e-6 and abs(gfl - 2.0) < 1e-6
+    assert abs(sol - 2.0 / 500.0 * 1e3) < 1e-6  # bytes-bound: 2GB/500GB/s
+    assert cnt == 2
+    _, _, _, gfl_b, sol_b, _ = by["fusion.B"]
+    assert abs(gfl_b - 2000.0) < 1e-6
+    assert abs(sol_b - 10.0) < 1e-6        # 2 TFLOP / 200 TFLOP/s = 10 ms

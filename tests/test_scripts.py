@@ -205,7 +205,7 @@ def test_export_cli_roundtrip(tmp_path):
     r = subprocess.run(
         [sys.executable, "tools/export.py",
          "--cfg", "experiments/synthetic/res18_64x64_smoke.yaml",
-         "--batch", "4", "--out", str(out),
+         "--batch", "0", "--out", str(out),  # 0 = batch-polymorphic
          "OUTPUT_DIR", str(tmp_path / "o"), "LOG_DIR", str(tmp_path / "l")],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
@@ -225,3 +225,7 @@ def test_export_cli_roundtrip(tmp_path):
     res = fn.call(variables["params"], variables.get("batch_stats", {}),
                   jnp.zeros((4, 64, 64, 3), jnp.float32))
     assert np.asarray(res).shape == (4, 8, 3)
+    # polymorphic module serves other batch sizes from the same blob
+    res9 = fn.call(variables["params"], variables.get("batch_stats", {}),
+                   jnp.zeros((9, 64, 64, 3), jnp.float32))
+    assert np.asarray(res9).shape == (9, 8, 3)

@@ -62,7 +62,9 @@ def main(argv=None):
     import argparse
 
     extra = argparse.ArgumentParser(add_help=False)
-    extra.add_argument("--batch", type=int, default=128)
+    extra.add_argument("--batch", type=int, default=128,
+                       help="serving batch size; 0 exports a batch-"
+                            "POLYMORPHIC module (symbolic leading dim)")
     extra.add_argument("--out", type=str, default="")
     extra_args, rest = extra.parse_known_args(argv)
     args = parse_args(rest)
@@ -121,12 +123,23 @@ def main(argv=None):
     def fn(params, batch_stats, image):
         return infer(params, batch_stats, image)
 
+    if b == 0:
+        # batch-polymorphic export: one serialized module serves ANY
+        # batch size (shape-polymorphic StableHLO via jax.export
+        # symbolic dims) — the serving-side answer to variable request
+        # batching, with no per-size recompilation artifacts to manage
+        (batch_dim,) = jexport.symbolic_shape("b")
+        img_spec = jax.ShapeDtypeStruct((batch_dim, h, w, 3), jnp.float32)
+        batch_desc = "polymorphic"
+    else:
+        img_spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
+        batch_desc = str(b)
     exported = jexport.export(jax.jit(fn))(
         jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                      variables["params"]),
         jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                      variables.get("batch_stats", {})),
-        jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32),
+        img_spec,
     )
     blob = exported.serialize()
     path = os.path.join(out_dir, "pose_infer.stablehlo")
@@ -134,16 +147,25 @@ def main(argv=None):
         f.write(blob)
     logger.info(
         f"=> exported AOT inference module ({len(blob)/1e6:.1f} MB, "
-        f"batch {b}, {w}x{h}) to {path}"
+        f"batch {batch_desc}, {w}x{h}) to {path}"
     )
     wpath = export_final_state(out_dir, jax.device_get(variables))
     logger.info(f"=> weights exported to {wpath}")
 
     # round-trip smoke: deserialize and run one batch
     rt = jexport.deserialize(bytearray(blob))
+    rb = 4 if b == 0 else b
     out = rt.call(variables["params"], variables.get("batch_stats", {}),
-                  jnp.zeros((b, h, w, 3), jnp.float32))
+                  jnp.zeros((rb, h, w, 3), jnp.float32))
     logger.info(f"=> round-trip OK: output {np.asarray(out).shape}")
+    if b == 0:
+        out2 = rt.call(variables["params"],
+                       variables.get("batch_stats", {}),
+                       jnp.zeros((7, h, w, 3), jnp.float32))
+        logger.info(
+            f"=> polymorphic round-trip OK at batch 7: "
+            f"{np.asarray(out2).shape}"
+        )
 
 
 if __name__ == "__main__":

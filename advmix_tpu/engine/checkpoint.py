@@ -24,12 +24,34 @@ def _to_numpy_tree(tree):
 
 class CheckpointManager:
     """Writes {output_dir}/checkpoint/<step in epochs> with the full train
-    state + metadata, plus best-model snapshots."""
+    state + metadata, plus best-model snapshots.
 
-    def __init__(self, output_dir: str):
+    Saves are ASYNCHRONOUS (orbax AsyncCheckpointer): the device->host
+    copy happens synchronously but serialization/IO overlaps the next
+    epoch's training — per-epoch saves measured ~6 s synchronous on the
+    demo workload, which would otherwise be dead step time. The next
+    save (or `wait()`/`restore`) barriers on the previous one."""
+
+    def __init__(self, output_dir: str, async_save: bool = True):
         self.dir = os.path.abspath(os.path.join(output_dir, "checkpoint"))
         os.makedirs(self.dir, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
+        self._async = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if async_save else None
+        )
+        self._pending_latest: Optional[int] = None
+
+    def wait(self):
+        """Barrier any in-flight async save, then publish its LATEST
+        marker (LATEST is only ever written AFTER the payload commit, so
+        a crash mid-save cannot leave it pointing at a partial dir)."""
+        if self._async is not None:
+            self._async.wait_until_finished()
+        if self._pending_latest is not None:
+            with open(os.path.join(self.dir, "LATEST"), "w") as f:
+                f.write(str(self._pending_latest))
+            self._pending_latest = None
 
     def save(self, epoch: int, state, perf: float, is_best: bool,
              extra: Optional[dict] = None):
@@ -41,15 +63,22 @@ class CheckpointManager:
         if extra:
             payload["extra"] = _to_numpy_tree(extra)
         path = os.path.join(self.dir, f"epoch_{epoch:04d}")
-        self._ckpt.save(path, payload, force=True)
-        latest = os.path.join(self.dir, "LATEST")
-        with open(latest, "w") as f:
-            f.write(str(epoch))
+        self.wait()  # one in-flight save at a time; publish previous
         if is_best:
-            best = os.path.join(self.dir, "best")
-            self._ckpt.save(best, payload, force=True)
+            # best snapshots stay synchronous (simple, and a minority of
+            # epochs once training stabilizes)
+            self._ckpt.save(os.path.join(self.dir, "best"), payload,
+                            force=True)
+        if self._async is not None:
+            self._async.save(path, payload, force=True)
+            self._pending_latest = epoch
+        else:
+            self._ckpt.save(path, payload, force=True)
+            with open(os.path.join(self.dir, "LATEST"), "w") as f:
+                f.write(str(epoch))
 
     def latest_epoch(self) -> Optional[int]:
+        self.wait()
         latest = os.path.join(self.dir, "LATEST")
         if not os.path.exists(latest):
             return None
@@ -59,6 +88,7 @@ class CheckpointManager:
     def restore(self, epoch: Optional[int] = None, item=None) -> Optional[dict]:
         """Restore a checkpoint payload; `item` provides the pytree structure
         (the current state) so arrays land with the right types."""
+        self.wait()
         if epoch is None:
             epoch = self.latest_epoch()
             if epoch is None:

@@ -41,6 +41,7 @@ from ..ops.losses import (
 from ..ops.heatmap import pck_accuracy, get_final_preds
 from ..ops.transforms import flip_back, shift_heatmap_right
 from ..models.layers import cross_replica_bn
+from ..parallel.mesh import data_axes
 
 
 def _bn_axis_for(cfg, axis: str):
@@ -119,6 +120,7 @@ def make_train_step(model, tx, cfg, mesh: Mesh, axis: str = "data",
     """When `debug`, the step also returns the output heatmaps and decoded
     peak coords (sharded), so the host can dump debug images every
     PRINT_FREQ like the reference (`lib/core/function.py:92-95`)."""
+    axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from .heatmap_debug import debug_outputs
 
     loss_of = _loss_fn_for(cfg)
@@ -186,6 +188,7 @@ def make_advmix_step(
     axis: str = "data",
     debug: bool = False,
 ):
+    axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from .heatmap_debug import debug_outputs
 
     loss_of = _loss_fn_for(cfg)
@@ -305,6 +308,7 @@ def make_advmix_step(
 # ---------------------------------------------------------------------------
 
 def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "data"):
+    axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from ..ops.heatmap import get_final_preds_softargmax
     from ..ops.transforms import transform_preds_jax
 
@@ -389,6 +393,7 @@ def make_bottomup_step(
     push_factor: float = 0.001,
     axis: str = "data",
 ):
+    axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from ..ops.ae import ae_loss, bottomup_heatmap_loss, generate_bottomup_target
 
     num_joints = cfg.MODEL.NUM_JOINTS
@@ -462,6 +467,7 @@ def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
     """Forward (+ flip TTA), aggregate scales, extract top-k peaks on
     device; host-side grouping consumes the outputs
     (evaluation/grouping.py)."""
+    axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from ..ops.ae import aggregate_heatmaps, top_k_peaks
     from ..ops.transforms import flip_back
 
@@ -516,6 +522,7 @@ def make_bottomup_advmix_step(
     through the saved vjp — but D's loss is the bottom-up composite
     (per-scale heatmap MSE + AE pull/push) and the KD term matches D's
     multi-scale heatmaps to the teacher's."""
+    axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from ..ops.ae import ae_loss, bottomup_heatmap_loss, generate_bottomup_target
 
     num_joints = cfg.MODEL.NUM_JOINTS

@@ -46,6 +46,9 @@ def make_random_corruption_fn(mesh, chunk: int = 1, axis: str = "data"):
     uncontaminated."""
     from jax.sharding import PartitionSpec as P
 
+    from ..parallel.mesh import data_axes
+
+    axis = data_axes(mesh, axis)
     n_types = len(BENCHMARK_CORRUPTIONS)
     branches = []
     for i in range(n_types * 5):
@@ -60,7 +63,8 @@ def make_random_corruption_fn(mesh, chunk: int = 1, axis: str = "data"):
         ch = min(chunk, b)
         n_chunks = b // ch
         rem = img[n_chunks * ch:]
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        for ax in (axis if isinstance(axis, tuple) else (axis,)):
+            key = jax.random.fold_in(key, jax.lax.axis_index(ax))
         keys = jax.random.split(key, n_chunks)
 
         def body(_, xs):

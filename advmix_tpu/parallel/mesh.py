@@ -18,15 +18,35 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def get_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+def get_mesh(num_devices: Optional[int] = None, axis_name: str = "data",
+             num_slices: Optional[int] = None) -> Mesh:
+    """1-D data mesh by default; `num_slices` > 1 builds a 2-D
+    ("dcn", axis_name) mesh for multi-slice pods — batches shard over
+    BOTH axes (pure DP) but the explicit hierarchy lets XLA schedule
+    gradient reductions as intra-slice ICI psums followed by the slower
+    cross-slice DCN hop instead of one flat ring."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if num_slices and num_slices > 1:
+        n = len(devices)
+        assert n % num_slices == 0, (n, num_slices)
+        arr = np.array(devices).reshape(num_slices, n // num_slices)
+        return Mesh(arr, ("dcn", axis_name))
     return Mesh(np.array(devices), (axis_name,))
 
 
+def data_axes(mesh: Mesh, axis_name: str = "data"):
+    """The axis names a batch shards over / gradients reduce over:
+    (axis_name,) on a 1-D mesh, ("dcn", axis_name) on a multi-slice
+    mesh."""
+    if "dcn" in mesh.axis_names:
+        return ("dcn", axis_name)
+    return (axis_name,)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    return NamedSharding(mesh, P(axis_name))
+    return NamedSharding(mesh, P(data_axes(mesh, axis_name)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

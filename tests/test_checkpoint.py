@@ -113,3 +113,27 @@ def test_torch_finetune_load(tmp_path):
         np.asarray(loaded["params"]["final_layer"]["bias"]),
         np.asarray(v["params"]["final_layer"]["bias"]),
     )
+
+
+def test_async_checkpoint_save(tmp_path):
+    """Async saves (the default) overlap IO with training: LATEST is only
+    published at the next barrier, after the payload has committed, and
+    restore sees the full state."""
+    st = _state()
+    mgr = CheckpointManager(str(tmp_path))
+    assert mgr._async is not None  # async is the default
+    mgr.save(epoch=1, state=jax.device_get(st), perf=0.5, is_best=False)
+    mgr.wait()
+    assert mgr.latest_epoch() == 1
+    mgr.save(epoch=2, state=jax.device_get(st), perf=0.6, is_best=True)
+    restored = mgr.restore(item=st)  # barriers internally
+    assert int(restored["epoch"]) == 2
+    for a, b in zip(jax.tree.leaves(restored["state"].params
+                                    if hasattr(restored["state"], "params")
+                                    else restored["state"]["params"]),
+                    jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # best snapshot exists (synchronous path)
+    import os
+
+    assert os.path.isdir(str(tmp_path / "checkpoint" / "best"))

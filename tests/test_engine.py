@@ -331,3 +331,30 @@ def test_val_loss_invariant_to_eval_batch_size(tmp_path):
         losses.append(rec.vals["valid_loss"])
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
     np.testing.assert_allclose(losses[0], losses[2], rtol=1e-5)
+
+
+def test_multi_slice_mesh_training_step():
+    """2-D ("dcn", "data") mesh (multi-slice pods): the train step runs
+    with batches sharded over both axes and produces the same loss and
+    updated params as the flat 1-D mesh (pure DP; the hierarchy is a
+    scheduling hint, not a semantics change)."""
+    model = PoseResNet(num_layers=18, num_joints=J,
+                       num_deconv_filters=(64, 64, 64))
+    cfg = _cfg()
+
+    def run(mesh):
+        tx = optim.get_optimizer(cfg)
+        st = state_lib.create_pose_state(
+            model, tx, jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3))
+        )
+        st = replicate(st, mesh)
+        step = steps.make_train_step(model, tx, cfg, mesh)
+        batch = device_put_batch(_batch(np.random.RandomState(0)), mesh)
+        st2, m = step(st, batch)
+        return float(m["loss"]), jax.tree.map(np.asarray, st2.params)
+
+    loss1, p1 = run(get_mesh(8))
+    loss2, p2 = run(get_mesh(8, num_slices=2))
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

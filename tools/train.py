@@ -295,6 +295,7 @@ def main(argv=None):
         logger.info(f"=> saving checkpoint to {output_dir} (best: {is_best})")
         ckpt.save(epoch, jax.device_get(state), perf, is_best)
 
+    ckpt.wait()  # barrier the last async checkpoint before the export
     params = state.params_d if advmix else state.params
     stats = state.batch_stats_d if advmix else state.batch_stats
     final = export_final_state(

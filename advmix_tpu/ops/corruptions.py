@@ -11,8 +11,12 @@ re-implemented here as a batched jax function over (B, H, W, 3) float
 from pixel-exact parity (all sanctioned by SURVEY §7.2 — target is
 distribution-level parity):
 
-- frost: the original overlays 6 bundled frost photographs; we synthesize a
-  procedural fractal frost texture instead.
+- frost: the original overlays 6 bundled frost photographs. When a texture
+  directory is provided (ADVMIX_FROST_DIR or set_frost_texture_dir — e.g.
+  pointing at imagecorruptions' frost_imgs/), the exact published semantics
+  run batched on device (per-image random texture, INTER_CUBIC cover-resize
+  x1.1, random crop, a*x + b*tex blend); otherwise we synthesize a
+  procedural fractal frost texture.
 - glass_blur: the original performs sequential in-place pixel swaps; we
   apply the same number of random local displacements in parallel.
 - jpeg_compression: real libjpeg encode/decode replaced by on-device 8x8
@@ -482,14 +486,104 @@ def fog(x, severity, key):
     return _clip01(out * mx / (mx + c)) * 255.0
 
 
+_FROST_DIR = None  # explicit override; falls back to $ADVMIX_FROST_DIR
+_FROST_BANK_CACHE = {}
+
+
+def set_frost_texture_dir(path):
+    """Point frost() at a directory of texture photographs (e.g.
+    imagecorruptions' frost_imgs/). None reverts to $ADVMIX_FROST_DIR or,
+    absent that, the procedural texture."""
+    global _FROST_DIR
+    _FROST_DIR = path
+    _FROST_BANK_CACHE.clear()
+
+
+def _frost_bank(h: int, w: int):
+    """Load + pre-scale the frost textures for an (h, w) target, mirroring
+    the published frost(): each texture is resized with INTER_CUBIC by
+    scaling_factor*1.1 where scaling_factor makes it cover the target
+    (1.0 when it already does), then stacked zero-padded into one uint8
+    bank so the batched crop is a single gather. Returns
+    (bank (N,Hc,Wc,3) uint8, valid_heights, valid_widths) or None."""
+    import os
+
+    d = _FROST_DIR if _FROST_DIR is not None else os.environ.get(
+        "ADVMIX_FROST_DIR"
+    )
+    if not d:
+        return None
+    ck = (d, h, w)
+    if ck in _FROST_BANK_CACHE:
+        return _FROST_BANK_CACHE[ck]
+    import glob
+
+    import cv2
+
+    texs = []
+    for p in sorted(glob.glob(os.path.join(d, "*"))):
+        if not p.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
+            continue
+        img = cv2.imread(p)  # BGR, as the original reads them
+        if img is None:
+            continue
+        fh, fw = img.shape[:2]
+        sf = 1.0
+        if fh < h and fw >= w:
+            sf = h / fh
+        elif fh >= h and fw < w:
+            sf = w / fw
+        elif fh < h and fw < w:
+            sf = max(h / fh, w / fw)
+        sf *= 1.1  # the original always over-scales by 1.1
+        new_wh = (int(np.ceil(fw * sf)), int(np.ceil(fh * sf)))
+        img = cv2.resize(img, dsize=new_wh, interpolation=cv2.INTER_CUBIC)
+        texs.append(img[..., ::-1])  # BGR->RGB ([2,1,0] in the original)
+    if not texs:
+        _FROST_BANK_CACHE[ck] = None
+        return None
+    hs = np.asarray([t.shape[0] for t in texs], np.int32)
+    ws = np.asarray([t.shape[1] for t in texs], np.int32)
+    bank = np.zeros((len(texs), hs.max(), ws.max(), 3), np.uint8)
+    for i, t in enumerate(texs):
+        bank[i, : t.shape[0], : t.shape[1]] = t
+    out = (bank, hs, ws)
+    _FROST_BANK_CACHE[ck] = out
+    return out
+
+
 def frost(x, severity, key):
-    """Procedural frost (bundled texture photos are unavailable): fractal
-    plasma sharpened into crystalline streaks, overlaid per the original's
-    blend x*a + frost*b."""
+    """Frost overlay x*a + frost*b. With a texture directory configured
+    (set_frost_texture_dir / $ADVMIX_FROST_DIR) this is the published
+    algorithm batched on device: per image, a random texture, a random
+    crop of its cover-resized canvas, blended and clipped. Without one
+    (this offline environment has no bundled photos) the texture is a
+    procedural fractal plasma sharpened into crystalline streaks."""
     a, bb = [(1, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75)][
         severity - 1
     ]
     b, h, w, _ = x.shape
+    bank = _frost_bank(int(h), int(w))
+    if bank is not None:
+        tex_np, hs, ws = bank
+        k_i, k_y, k_x = jax.random.split(key, 3)
+        idx = jax.random.randint(k_i, (b,), 0, tex_np.shape[0])
+        # offsets ~ randint(0, tex_dim - crop_dim), per-texture bound
+        hi = jnp.asarray(hs)[idx].astype(jnp.float32)
+        wi = jnp.asarray(ws)[idx].astype(jnp.float32)
+        ys = jnp.floor(
+            jax.random.uniform(k_y, (b,)) * jnp.maximum(hi - h, 1.0)
+        ).astype(jnp.int32)
+        xs = jnp.floor(
+            jax.random.uniform(k_x, (b,)) * jnp.maximum(wi - w, 1.0)
+        ).astype(jnp.int32)
+        tex_c = jnp.asarray(tex_np)
+
+        def crop(i, y0, x0):
+            return jax.lax.dynamic_slice(tex_c[i], (y0, x0, 0), (h, w, 3))
+
+        tex = jax.vmap(crop)(idx, ys, xs).astype(x.dtype)
+        return jnp.clip(x * a + tex * bb, 0, 255)
     mapsize = _next_pow2(max(h, w))
     k1, k2 = jax.random.split(key)
     keys = jax.random.split(k1, b)

@@ -690,6 +690,76 @@ def test_spatter_mud_matches_oracle_and_water_statistics():
             assert cos > 0.9, (sev, g, ww_, cos)
 
 
+def test_frost_texture_bank(tmp_path):
+    """With a texture directory configured, frost runs the published
+    algorithm (random texture, INTER_CUBIC cover-resize x1.1, random crop,
+    a*x + b*tex): bit-level same-draws oracle, plus the bank's resize rule
+    checked against the reference scaling logic for every cover case."""
+    import cv2
+
+    rng = np.random.RandomState(3)
+    # one texture per scaling branch vs the 64x48 target:
+    # covers both dims / too short / too narrow / too small
+    shapes = [(120, 90), (40, 90), (120, 30), (40, 30)]
+    for i, (th, tw) in enumerate(shapes):
+        cv2.imwrite(
+            str(tmp_path / f"frost{i}.png"),
+            rng.randint(0, 255, (th, tw, 3)).astype(np.uint8),
+        )
+    C.set_frost_texture_dir(str(tmp_path))
+    try:
+        h, w = 64, 48
+        nb = 8
+        x = rng.randint(0, 200, (nb, h, w, 3)).astype(np.float32)
+        key = jax.random.PRNGKey(5)
+        sev = 3
+        a, bb = 0.7, 0.7
+        out = np.asarray(C.corrupt(jnp.asarray(x), "frost", sev, key))
+
+        bank, hs, ws = C._frost_bank(h, w)
+        # resize rule: each texture's valid region covers the target and
+        # equals ceil(dim * scaling_factor * 1.1) per the reference branch
+        for (th, tw), bh, bw in zip(shapes, hs, ws):
+            sf = max(
+                1.0,
+                h / th if th < h else 1.0,
+                w / tw if tw < w else 1.0,
+                max(h / th, w / tw) if (th < h and tw < w) else 1.0,
+            ) * 1.1
+            assert bh == int(np.ceil(th * sf)) and bw == int(np.ceil(tw * sf))
+            assert bh > h and bw > w
+
+        # same-draws oracle for the crop + blend
+        k_i, k_y, k_x = jax.random.split(key, 3)
+        idx = np.asarray(jax.random.randint(k_i, (nb,), 0, bank.shape[0]))
+        uy = np.asarray(jax.random.uniform(k_y, (nb,)))
+        ux = np.asarray(jax.random.uniform(k_x, (nb,)))
+        assert len(set(idx.tolist())) > 1  # multiple textures exercised
+        for s in range(nb):
+            hi, wi = int(hs[idx[s]]), int(ws[idx[s]])
+            y0 = int(np.floor(uy[s] * max(hi - h, 1)))
+            x0 = int(np.floor(ux[s] * max(wi - w, 1)))
+            tex = bank[idx[s], y0 : y0 + h, x0 : x0 + w].astype(np.float32)
+            want = np.clip(x[s] * a + tex * bb, 0, 255)
+            np.testing.assert_allclose(out[s], want, atol=1e-3, err_msg=str(s))
+
+        # BGR->RGB: the bank must invert cv2's channel order
+        img0 = cv2.imread(str(tmp_path / "frost0.png"))
+        big = cv2.resize(
+            img0,
+            dsize=(int(ws[0]), int(hs[0])),
+            interpolation=cv2.INTER_CUBIC,
+        )
+        np.testing.assert_array_equal(bank[0, : hs[0], : ws[0]], big[..., ::-1])
+    finally:
+        C.set_frost_texture_dir(None)
+    # cache cleared: back to the procedural fallback (no env dir in tests)
+    import os
+
+    if not os.environ.get("ADVMIX_FROST_DIR"):
+        assert C._frost_bank(h, w) is None
+
+
 def test_frost_blend_structure():
     """Frost (benchmark): the published implementation overlays bundled
     frost PHOTOGRAPHS (x*a + frost*b) which do not exist in this offline

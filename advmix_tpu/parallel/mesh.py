@@ -19,17 +19,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def get_mesh(num_devices: Optional[int] = None, axis_name: str = "data",
-             num_slices: Optional[int] = None) -> Mesh:
+             num_slices: Optional[int] = None,
+             model_parallel: Optional[int] = None) -> Mesh:
     """1-D data mesh by default; `num_slices` > 1 builds a 2-D
     ("dcn", axis_name) mesh for multi-slice pods — batches shard over
     BOTH axes (pure DP) but the explicit hierarchy lets XLA schedule
     gradient reductions as intra-slice ICI psums followed by the slower
-    cross-slice DCN hop instead of one flat ring."""
+    cross-slice DCN hop instead of one flat ring.
+
+    `model_parallel` > 1 builds a 2-D (axis_name, "model") mesh for
+    GSPMD spatial partitioning (parallel/spatial.py): batches shard
+    over axis_name, each image's height over "model". Mutually
+    exclusive with num_slices (a 3-D variant has no workload here)."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    n = len(devices)
+    if model_parallel and model_parallel > 1:
+        assert not (num_slices and num_slices > 1), \
+            "num_slices and model_parallel are mutually exclusive"
+        assert n % model_parallel == 0, (n, model_parallel)
+        arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+        return Mesh(arr, (axis_name, "model"))
     if num_slices and num_slices > 1:
-        n = len(devices)
         assert n % num_slices == 0, (n, num_slices)
         arr = np.array(devices).reshape(num_slices, n // num_slices)
         return Mesh(arr, ("dcn", axis_name))

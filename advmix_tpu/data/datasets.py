@@ -324,14 +324,31 @@ class SyntheticPoseDataset(BaseJointsDataset):
         return img
 
     def evaluate(self, cfg, preds, output_dir, all_boxes=None, img_path=None,
-                 **kwargs):
+                 indices=None, **kwargs):
         """PCK@0.1 in original-image coordinates against the exactly-known
         synthetic GT — a real accuracy metric so corruption sweeps over
         the synthetic task produce meaningful mPC/rPC (the AdvMix
-        robustness demo, VERDICT r2 next #5)."""
+        robustness demo, VERDICT r2 next #5).
+
+        Rows pair with records positionally (eval loaders are unshuffled,
+        and the multi-host merge re-sorts by dataset index), `indices`
+        makes that contract explicit when provided; an incomplete
+        prediction set raises instead of silently scoring row i against
+        record i of a different ordering."""
         from collections import OrderedDict
 
-        n = min(preds.shape[0], len(self.records))
+        if preds.shape[0] != len(self.records):
+            raise ValueError(
+                f"got {preds.shape[0]} predictions for "
+                f"{len(self.records)} records — evaluate needs the "
+                "complete set (incomplete sets would pair rows with the "
+                "wrong records)"
+            )
+        if indices is not None and not np.array_equal(
+            np.asarray(indices), np.arange(len(self.records))
+        ):
+            raise ValueError("predictions are not in dataset order")
+        n = len(self.records)
         hits = total = 0
         for i in range(n):
             rec = self.records[i]

@@ -38,7 +38,7 @@ from ..ops.losses import (
     joints_ohkm_loss,
     joints_ohkm_loss_per_sample,
 )
-from ..ops.heatmap import pck_accuracy, get_final_preds
+from ..ops.heatmap import pck_sums, pck_from_sums, get_final_preds
 from ..ops.transforms import flip_back, shift_heatmap_right
 from ..models.layers import cross_replica_bn
 from ..parallel.mesh import data_axes
@@ -144,11 +144,17 @@ def make_train_step(model, tx, cfg, mesh: Mesh, axis: str = "data",
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        _, acc, cnt = pck_accuracy(out, batch["target"])
+        # exact global PCK: psum per-joint hit/valid counts, THEN
+        # finalize (pmean of per-replica averages would weight replicas
+        # equally regardless of their valid-sample counts)
+        hit_j, val_j = pck_sums(out, batch["target"])
+        _, acc, cnt = pck_from_sums(
+            lax.psum(hit_j, axis), lax.psum(val_j, axis)
+        )
         metrics = {
             "loss": lax.pmean(loss, axis),
-            "acc": lax.pmean(acc, axis),
-            "acc_cnt": lax.psum(cnt, axis),
+            "acc": acc,
+            "acc_cnt": cnt,
         }
         new_state = state.replace(
             params=new_params,
@@ -266,12 +272,15 @@ def make_advmix_step(
 
         # Metrics: loss meter tracks loss_D, accuracy uses the G-step D
         # output (function.py:167-171).
-        _, acc, cnt = pck_accuracy(out_g, target)
+        hit_j, val_j = pck_sums(out_g, target)
+        _, acc, cnt = pck_from_sums(
+            lax.psum(hit_j, axis), lax.psum(val_j, axis)
+        )
         metrics = {
             "loss_d": lax.pmean(loss_d, axis),
             "loss_g": lax.pmean(loss_g, axis),
-            "acc": lax.pmean(acc, axis),
-            "acc_cnt": lax.psum(cnt, axis),
+            "acc": acc,
+            "acc_cnt": cnt,
         }
         new_state = state.replace(
             params_d=new_params_d,
@@ -354,17 +363,25 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
         ps = loss_per_sample(out, batch["target"], batch["target_weight"])
         loss_sum = lax.psum(jnp.sum(ps * v), axis)
         n_valid = lax.psum(jnp.sum(v), axis)
-        _, acc, cnt = pck_accuracy(out, batch["target"], sample_mask=v)
+        hit_j, val_j = pck_sums(out, batch["target"], sample_mask=v)
         if soft:
             preds, maxvals = get_final_preds_softargmax(
                 out, batch["center"], batch["scale"], post_process=post
             )
         else:
             preds, maxvals = decode(out, batch["center"], batch["scale"])
+        hit_j = lax.psum(hit_j, axis)
+        val_j = lax.psum(val_j, axis)
+        _, acc, cnt = pck_from_sums(hit_j, val_j)
         metrics = {
             "loss": loss_sum / jnp.maximum(n_valid, 1.0),
-            "acc": lax.pmean(acc, axis),
-            "acc_cnt": lax.psum(cnt, axis),
+            "acc": acc,
+            "acc_cnt": cnt,
+            # raw counts so validate() can finalize the EXACT whole-set
+            # PCK across batches (a weighted mean of per-batch averages
+            # is not split-invariant)
+            "pck_hit_j": hit_j,
+            "pck_valid_j": val_j,
         }
         return preds, maxvals, metrics
 

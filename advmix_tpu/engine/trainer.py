@@ -300,6 +300,8 @@ def validate(
     eval passes per host instead of all of them."""
     losses = AverageMeter()
     accs = AverageMeter()
+    pck_hit_tot = np.zeros(dataset.num_joints, np.float64)
+    pck_val_tot = np.zeros(dataset.num_joints, np.float64)
     n_proc = jax.process_count()
     num_samples = len(dataset)
     all_preds = np.zeros((num_samples, dataset.num_joints, 3), np.float32)
@@ -343,6 +345,8 @@ def validate(
         n = host_batch["_n"]
         losses.update(float(metrics["loss"]), n)
         accs.update(float(metrics["acc"]), int(metrics["acc_cnt"]))
+        pck_hit_tot = pck_hit_tot + np.asarray(metrics["pck_hit_j"])
+        pck_val_tot = pck_val_tot + np.asarray(metrics["pck_valid_j"])
 
         c = host_batch["center"][:n]
         s = host_batch["scale"][:n]
@@ -392,7 +396,8 @@ def validate(
         if jax.process_index() == 0:
             paths = [dataset.records[int(i)]["image"] for i in merged_idx]
             name_values, perf = dataset.evaluate(
-                cfg, merged_preds, output_dir, merged_boxes, paths
+                cfg, merged_preds, output_dir, merged_boxes, paths,
+                indices=merged_idx,
             )
         else:
             name_values, perf = {}, 0.0
@@ -401,7 +406,8 @@ def validate(
         )
     else:
         name_values, perf = dataset.evaluate(
-            cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_paths
+            cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_paths,
+            indices=all_indices[:idx],
         )
     if isinstance(name_values, list):
         for nv in name_values:
@@ -412,7 +418,14 @@ def validate(
     if writer is not None and writer_state is not None:
         gs = writer_state.get("valid_global_steps", 0)
         writer.add_scalar("valid_loss", losses.avg, gs)
-        writer.add_scalar("valid_acc", accs.avg, gs)
+        # exact whole-set PCK from the accumulated per-joint counts —
+        # split-invariant, unlike a weighted mean of per-batch averages
+        pj = np.where(pck_val_tot > 0,
+                      pck_hit_tot / np.maximum(pck_val_tot, 1), -1.0)
+        have = pj >= 0
+        writer.add_scalar(
+            "valid_acc", float(pj[have].mean()) if have.any() else 0.0, gs
+        )
         writer_state["valid_global_steps"] = gs + 1
     return name_values, perf
 

@@ -12,6 +12,8 @@ Conventions:
 
 from __future__ import annotations
 
+import contextlib
+
 from typing import Any
 
 import numpy as np
@@ -79,6 +81,7 @@ class TorchBatchNorm(nn.Module):
 _BN_AXIS_NAME: str | None = None
 
 
+@contextlib.contextmanager
 def cross_replica_bn(axis_name: str | None):
     """Trace-time context: every `batch_norm` constructed inside computes
     batch statistics across the named mesh axis (sync-BN,
@@ -87,19 +90,13 @@ def cross_replica_bn(axis_name: str | None):
     attribute through every block of three model families. Python-level
     state is safe here because flax module construction happens
     synchronously during tracing inside the `with` scope."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def ctx():
-        global _BN_AXIS_NAME
-        old = _BN_AXIS_NAME
-        _BN_AXIS_NAME = axis_name
-        try:
-            yield
-        finally:
-            _BN_AXIS_NAME = old
-
-    return ctx()
+    global _BN_AXIS_NAME
+    old = _BN_AXIS_NAME
+    _BN_AXIS_NAME = axis_name
+    try:
+        yield
+    finally:
+        _BN_AXIS_NAME = old
 
 
 def batch_norm(

@@ -203,6 +203,17 @@ def pck_accuracy(output: jnp.ndarray, target: jnp.ndarray, thr: float = 0.5,
 
     Returns (per_joint_acc (J,), avg_acc scalar, cnt scalar).
     Per-joint accuracies are -1 where no valid sample exists."""
+    hit_j, valid_j = pck_sums(output, target, thr, sample_mask)
+    return pck_from_sums(hit_j, valid_j)
+
+
+def pck_sums(output: jnp.ndarray, target: jnp.ndarray, thr: float = 0.5,
+             sample_mask: jnp.ndarray | None = None):
+    """Per-joint (hit_count, valid_count) sums for PCK — the psum-able
+    half of `pck_accuracy`. Sharded eval steps reduce these across the
+    data axis before `pck_from_sums` so the logged PCK is the exact
+    global statistic, independent of how samples (and padded tail rows)
+    distribute over replicas."""
     pred, _ = get_max_preds(output)
     tgt, _ = get_max_preds(target)
     h, w = output.shape[1], output.shape[2]
@@ -214,11 +225,16 @@ def pck_accuracy(output: jnp.ndarray, target: jnp.ndarray, thr: float = 0.5,
     d = jnp.linalg.norm((pred - tgt) / norm, axis=-1)  # (B, J)
 
     hit = (d < thr) & valid
-    num_valid = jnp.sum(valid, axis=0)  # (J,)
+    return (jnp.sum(hit, axis=0).astype(jnp.float32),
+            jnp.sum(valid, axis=0).astype(jnp.float32))
+
+
+def pck_from_sums(hit_j: jnp.ndarray, valid_j: jnp.ndarray):
+    """(per_joint (J,), avg, cnt) from per-joint hit/valid counts."""
     per_joint = jnp.where(
-        num_valid > 0, jnp.sum(hit, axis=0) / jnp.maximum(num_valid, 1), -1.0
+        valid_j > 0, hit_j / jnp.maximum(valid_j, 1), -1.0
     )
-    cnt = jnp.sum(num_valid > 0)
+    cnt = jnp.sum(valid_j > 0)
     avg = jnp.where(
         cnt > 0, jnp.sum(jnp.where(per_joint >= 0, per_joint, 0.0)) / jnp.maximum(cnt, 1), 0.0
     )

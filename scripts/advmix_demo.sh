@@ -41,20 +41,4 @@ sweep "$WORK/standard_state" standard
 echo "=== [4/4] corruption sweep: advmix ==="
 sweep "$WORK/advmix_state" advmix
 
-python - "$WORK" << 'EOF'
-import csv, glob, sys
-work = sys.argv[1]
-print("\n=== AdvMix robustness demo summary ===")
-rows = {}
-for tag in ("standard", "advmix"):
-    path = sorted(glob.glob(f"{work}/results_{tag}.csv"))[-1]
-    with open(path) as f:
-        r = list(csv.DictReader(f))[-1]
-    clean = float(r.get("clean_PCK", r.get("clean_mAP", 0)))
-    mpc = float(r.get("mean_corrupted_PCK", r.get("mean_corrupted_AP", 0)))
-    rpc = mpc / clean if clean else 0.0
-    rows[tag] = (clean, mpc, rpc)
-    print(f"{tag:9s} clean={clean:.4f}  mPC={mpc:.4f}  rPC={rpc:.4f}")
-d = rows["advmix"][2] - rows["standard"][2]
-print(f"rPC delta (advmix - standard): {d:+.4f}")
-EOF
+python scripts/demo_summary.py "$WORK"

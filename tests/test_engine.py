@@ -319,7 +319,7 @@ def test_val_loss_invariant_to_eval_batch_size(tmp_path):
         def add_scalar(self, k, val, gs):
             self.vals[k] = val
 
-    losses = []
+    losses, accs = [], []
     for bs in (8, 16, 24):  # 21 samples -> pad 3 / 11 / 3 rows
         rec = Rec()
         loader = Loader(ds, bs, shuffle=False, num_threads=1)
@@ -329,8 +329,13 @@ def test_val_loss_invariant_to_eval_batch_size(tmp_path):
             str(tmp_path), writer=rec, writer_state={},
         )
         losses.append(rec.vals["valid_loss"])
+        accs.append(rec.vals["valid_acc"])
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
     np.testing.assert_allclose(losses[0], losses[2], rtol=1e-5)
+    # PCK too: per-joint hit/valid counts psum across replicas BEFORE
+    # finalizing, so fully-padded replicas can't drag the average down
+    np.testing.assert_allclose(accs[0], accs[1], rtol=1e-5)
+    np.testing.assert_allclose(accs[0], accs[2], rtol=1e-5)
 
 
 def test_multi_slice_mesh_training_step():

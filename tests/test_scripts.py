@@ -229,3 +229,31 @@ def test_export_cli_roundtrip(tmp_path):
     res9 = fn.call(variables["params"], variables.get("batch_stats", {}),
                    jnp.zeros((9, 64, 64, 3), jnp.float32))
     assert np.asarray(res9).shape == (9, 8, 3)
+
+
+def test_demo_summary_reads_write_final_csv_columns(tmp_path):
+    """scripts/demo_summary.py must read the columns write_final_csv
+    actually emits for BOTH dataset families — a wrong key here silently
+    reports mPC/rPC as zero (the round-3 demo script bug)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from test_corruption import write_final_csv, BENCHMARK_15
+        import demo_summary
+    finally:
+        sys.path.pop(0), sys.path.pop(0)
+
+    distortions = list(BENCHMARK_15)
+    rng = np.random.RandomState(0)
+    for ds, tag, clean in [("synthetic", "standard", 0.8),
+                           ("mpii", "advmix", 0.6)]:
+        vals = rng.uniform(0.2, 0.5, len(distortions) * 5)
+        write_final_csv([clean] + vals.tolist(), distortions,
+                        str(tmp_path), f"results_{tag}", ds)
+        got_clean, got_mpc, got_rpc = demo_summary.read_arm(
+            str(tmp_path), tag)
+        want_mpc = np.mean([round(np.mean(vals[i * 5:i * 5 + 5]), 3)
+                            for i in range(len(distortions))])
+        assert got_clean == clean
+        np.testing.assert_allclose(got_mpc, want_mpc, atol=5e-4)
+        assert got_rpc > 0 and abs(got_rpc - got_mpc / clean) < 2e-3

@@ -16,8 +16,6 @@ Usage:  python tools/hbm_peak.py [--mb 512] [--iters 20]
 """
 
 import argparse
-import glob
-import gzip
 import json
 import os
 import sys
@@ -33,16 +31,17 @@ if os.environ.get("ADVMIX_PLATFORM"):
 
 def device_time_us(trace_dir: str) -> float:
     """Sum device-event durations (us) of compute kernels in the newest
-    trace (copy/infeed/outfeed excluded)."""
-    paths = sorted(glob.glob(
-        os.path.join(trace_dir, "plugins/profile/*/", "*.trace.json.gz")
-    ))
-    if not paths:
-        raise FileNotFoundError(f"no trace under {trace_dir}")
-    with gzip.open(paths[-1]) as f:
-        data = json.load(f)
+    trace (copy/infeed/outfeed excluded). Trace loading is shared with
+    tools/profile.py (_load_trace) so the gzip/schema handling lives in
+    one place."""
+    # pin tools/ ahead of stdlib's `profile` module for this import
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+    if sys.path[0] != tools_dir:
+        sys.path.insert(0, tools_dir)
+    from profile import _load_trace
+
     total = 0.0
-    for e in data["traceEvents"]:
+    for e in _load_trace(trace_dir)["traceEvents"]:
         if e.get("ph") != "X":
             continue
         c = e.get("args", {}).get("hlo_category")

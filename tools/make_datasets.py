@@ -110,13 +110,25 @@ def main():
 
     compiled = {}
 
-    def apply(name, severity, batch, key):
-        sig = (name, severity, batch.shape)
+    def apply_all_severities(name, batch, key):
+        """All 5 severities in ONE program per (corruption, shape):
+        every image needs every severity anyway, so fusing them is free
+        compute-wise and cuts the compile count (and the per-dispatch
+        tunnel round-trips) 5x — the exact-resolution group otherwise
+        compiles one program per (name, severity, resolution), which on
+        COCO val's hundreds of distinct resolutions is tens of
+        thousands of XLA invocations. Each severity gets the same key,
+        matching the reference's np.random.seed(1) before every render
+        (`tools/make_datasets.py:40`) and the previous per-severity
+        loop bit-for-bit."""
+        sig = (name, batch.shape)
         if sig not in compiled:
             compiled[sig] = jax.jit(
-                lambda x, k: corrupt(x, name, severity, k)
+                lambda x, k: jnp.stack(
+                    [corrupt(x, name, s, k) for s in range(1, 6)]
+                )
             )
-        return compiled[sig](batch, key)
+        return compiled[sig](batch, key)  # (5, B, H, W, 3)
 
     # Header-only reads to assign size classes (no pixel decode).
     dims = {}
@@ -166,23 +178,25 @@ def main():
                          if len(items) > args.batch else 0)
                 arr = np.stack(imgs + [imgs[-1]] * pad_n).astype(np.float32)
                 for name in group_names:
+                    # deterministic per-render seed, mirroring the
+                    # np.random.seed(1) before each corrupt call (:40)
+                    key = jax.random.PRNGKey(1)
+                    out5 = np.asarray(
+                        apply_all_severities(name, jnp.asarray(arr), key)
+                    )
+                    out5 = np.clip(out5, 0, 255).astype(np.uint8)
                     for severity in range(1, 6):
                         outdir = os.path.join(out_base, name,
                                               str(severity - 1))
-                        # deterministic per-render seed, mirroring the
-                        # np.random.seed(1) before each corrupt call (:40)
-                        key = jax.random.PRNGKey(1)
-                        out = np.asarray(
-                            apply(name, severity, jnp.asarray(arr), key)
-                        )
-                        out = np.clip(out, 0, 255).astype(np.uint8)
-                        for (fname, h, w), im in zip(sizes, out):
+                        for (fname, h, w), im in zip(sizes, out5[severity - 1]):
                             cv2.imwrite(
                                 os.path.join(
                                     outdir, os.path.basename(fname)),
                                 cv2.cvtColor(im[:h, :w], cv2.COLOR_RGB2BGR),
                             )
             print(f"=> size class ({bh}, {bw}) done ({len(items)} images)")
+        print(f"=> {len(compiled)} compiled programs so far "
+              f"(one per corruption x shape; 5 severities fused each)")
 
     if args.bucket_all:
         run_group(names, args.bucket_quantum)

@@ -175,11 +175,15 @@ def main(argv=None):
                 cfg, eval_step, prep, params, stats, dataset, loader, mesh,
                 output_dir,
             )
-        with open(os.path.join(output_dir, "robust_C.val"), "a") as rec:
-            rec.write(f"{corruption}_{severity0}:\t")
-            for k, v in name_values.items():
-                rec.write(f"{k} = {v}\t")
-            rec.write("\n")
+        # multi-host: validate() gathers predictions and evaluates on
+        # process 0 only (name_values is {} elsewhere); only process 0
+        # may write the shared record/CSV files
+        if jax.process_index() == 0:
+            with open(os.path.join(output_dir, "robust_C.val"), "a") as rec:
+                rec.write(f"{corruption}_{severity0}:\t")
+                for k, v in name_values.items():
+                    rec.write(f"{k} = {v}\t")
+                rec.write("\n")
         return perf
 
     if extra_args.distortions:
@@ -194,10 +198,11 @@ def main(argv=None):
         for severity0 in range(5):
             results.append(run_one(name, severity0))
 
-    write_final_csv(
-        results, distortions, output_dir, args.exp_id or "robust",
-        cfg.DATASET.DATASET,
-    )
+    if jax.process_index() == 0:
+        write_final_csv(
+            results, distortions, output_dir, args.exp_id or "robust",
+            cfg.DATASET.DATASET,
+        )
 
 
 def write_final_csv(results, distortions, output_dir, exp_id, dataset_name):

@@ -464,7 +464,8 @@ def validate_bottomup(
         img = image_u8.astype(jnp.float32)
         if corruption and corruption != "clean":
             # on-the-fly device synthesis (mirrors the top-down sweep path)
-            img = corrupt(img, corruption, severity, jax.random.PRNGKey(1))
+            img = corrupt(img, corruption, severity, jax.random.PRNGKey(1),
+                          exact_render=True)
         return (img - mean) / std
 
     results = []

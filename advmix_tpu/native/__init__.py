@@ -45,6 +45,7 @@ def get_lib():
         lib.oks_nms.restype = ctypes.c_int
         lib.soft_oks_nms.restype = ctypes.c_int
         lib.greedy_from_matrix.restype = ctypes.c_int
+        lib.glass_compose.restype = None
         _lib = lib
     except Exception as e:  # no toolchain / load failure -> numpy fallback
         _load_error = e
@@ -158,3 +159,41 @@ def greedy_from_matrix(sim: np.ndarray, scores: np.ndarray, thresh: float):
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return keep[:cnt].tolist()
+
+
+def glass_compose(h: int, w: int, max_delta: int, iters: int,
+                  deltas: np.ndarray) -> np.ndarray:
+    """Compose glass_blur's sequential interior pixel swaps into one
+    source-index permutation (int32 (h*w,)). deltas: int32 (n_swaps, 2)
+    (dx, dy) in draw order, n_swaps = iters * interior_h * interior_w."""
+    deltas = np.ascontiguousarray(deltas, np.int32)
+    n_h = len(range(h - max_delta, max_delta, -1))
+    n_w = len(range(w - max_delta, max_delta, -1))
+    expected = iters * n_h * n_w
+    if deltas.shape != (expected, 2):
+        raise ValueError(
+            f"deltas shape {deltas.shape} != ({expected}, 2) for "
+            f"h={h} w={w} max_delta={max_delta} iters={iters}")
+    src = np.arange(h * w, dtype=np.int32)
+    lib = get_lib()
+    if lib is not None:
+        lib.glass_compose(
+            ctypes.c_int(h), ctypes.c_int(w),
+            ctypes.c_int(max_delta), ctypes.c_int(iters),
+            deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        return src
+    # pure-python fallback (same loop; fine for test-sized images)
+    t = 0
+    for _ in range(iters):
+        for hh in range(h - max_delta, max_delta, -1):
+            base = hh * w
+            for ww in range(w - max_delta, max_delta, -1):
+                dx = deltas[t, 0]
+                dy = deltas[t, 1]
+                t += 1
+                p = base + ww
+                q = (hh + dy) * w + (ww + dx)
+                src[p], src[q] = src[q], src[p]
+    return src

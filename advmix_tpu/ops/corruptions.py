@@ -17,8 +17,13 @@ distribution-level parity):
   run batched on device (per-image random texture, INTER_CUBIC cover-resize
   x1.1, random crop, a*x + b*tex blend); otherwise we synthesize a
   procedural fractal frost texture.
-- glass_blur: the original performs sequential in-place pixel swaps; we
-  apply the same number of random local displacements in parallel.
+- glass_blur: EXACT on the dataset-render/eval path (exact_render=True):
+  the original's sequential in-place pixel swaps are image-independent
+  transpositions, composed once on host into a single permutation
+  (native glass_compose) and applied as one batched device gather —
+  same-draws bit-identical up to float32-vs-float64 blur rounding. Only
+  the traced training-time form (key-driven `--random_corruption`)
+  approximates the serial swaps with a parallel displacement gather.
 - jpeg_compression: real libjpeg encode/decode replaced by on-device 8x8
   DCT quantization with the standard JPEG tables (incl. 2x2 chroma
   subsampling).
@@ -64,7 +69,20 @@ def _reflect_index(i, n, include_edge):
     return jnp.where(i >= n, period - i, i)
 
 
-def _np_reflect_index(i: np.ndarray, n: int, include_edge: bool) -> np.ndarray:
+def _border_index(i, n, mode):
+    """Out-of-range index folding by scipy border mode name: 'nearest'
+    (edge clamp — skimage.filters.gaussian's DEFAULT, used by the
+    imagecorruptions calls that go through skimage), 'symmetric' (scipy
+    gaussian_filter 'reflect', edge repeated) or 'mirror'."""
+    if mode == "nearest":
+        return jnp.clip(i, 0, n - 1)
+    return _reflect_index(i, n, mode == "symmetric")
+
+
+def _np_border_index(i: np.ndarray, n: int, mode: str) -> np.ndarray:
+    if mode == "nearest":
+        return np.clip(i, 0, n - 1)
+    include_edge = mode == "symmetric"
     if include_edge:
         period = 2 * n
         i = np.mod(i, period)
@@ -74,22 +92,24 @@ def _np_reflect_index(i: np.ndarray, n: int, include_edge: bool) -> np.ndarray:
     return np.where(i >= n, period - i, i)
 
 
-def _blur_matrix(n: int, sigma: float, radius: int, include_edge: bool):
-    """Exact dense 1-D blur operator with reflected boundary folded in:
+def _blur_matrix(n: int, sigma: float, radius: int, mode: str):
+    """Exact dense 1-D blur operator with the boundary folded in:
     blurred[i] = sum_t k[t] * x[fold(i + t)] == (x @ W^T)[i]."""
     k = _gaussian_kernel_1d(sigma, radius)
     mat = np.zeros((n, n), np.float32)
     taps = np.arange(-radius, radius + 1)
     for i in range(n):
-        src = _np_reflect_index(i + taps, n, include_edge)
+        src = _np_border_index(i + taps, n, mode)
         np.add.at(mat[i], src, k)
     return mat
 
 
 def _sep_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0,
               mode: str = "mirror") -> jnp.ndarray:
-    """Separable Gaussian blur with reflected boundaries. mode='mirror'
-    (edge not repeated) or 'symmetric' (scipy gaussian_filter 'reflect').
+    """Separable Gaussian blur. mode='mirror' (edge not repeated),
+    'symmetric' (scipy gaussian_filter 'reflect') or 'nearest' (edge
+    replicate — skimage.filters.gaussian's default, hence what every
+    imagecorruptions call that uses skimage `gaussian` gets).
 
     Small radii run as taps-wide convs with gather-based boundary
     extension. Large radii (elastic_transform's sigma=0.7*244 gives a
@@ -100,17 +120,20 @@ def _sep_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0,
         return x
     radius = max(1, int(truncate * sigma + 0.5))
     b, h, w, c = x.shape
-    edge = mode == "symmetric"
 
     if 2 * radius + 1 > min(h, w):
-        wh = jnp.asarray(_blur_matrix(h, sigma, radius, edge))  # (h, h)
-        ww = jnp.asarray(_blur_matrix(w, sigma, radius, edge))  # (w, w)
+        wh = jnp.asarray(_blur_matrix(h, sigma, radius, mode))  # (h, h)
+        ww = jnp.asarray(_blur_matrix(w, sigma, radius, mode))  # (w, w)
         # blur rows: out[b,i,w,c] = sum_j wh[i,j] x[b,j,w,c]
-        xh = jnp.einsum("ij,bjwc->biwc", wh, x)
-        return jnp.einsum("ij,bhjc->bhic", ww, xh)
+        # precision='highest': TPU matmuls default to bf16 passes, which
+        # perturbs blurred values by ~1e-3*255 — enough to flip uint8
+        # truncations (glass_blur) and break oracle-exactness claims of
+        # TPU-rendered datasets. Full-f32 costs nothing measurable here.
+        xh = jnp.einsum("ij,bjwc->biwc", wh, x, precision="highest")
+        return jnp.einsum("ij,bhjc->bhic", ww, xh, precision="highest")
 
     k = jnp.asarray(_gaussian_kernel_1d(sigma, radius))
-    idx_h = _reflect_index(jnp.arange(-radius, h + radius), h, edge)
+    idx_h = _border_index(jnp.arange(-radius, h + radius), h, mode)
     xp = x[:, idx_h, :, :]
     kh = k.reshape(-1, 1, 1, 1)
     xh = jax.lax.conv_general_dilated(
@@ -119,9 +142,10 @@ def _sep_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0,
         (1, 1),
         "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     xh = xh.reshape(b, c, h, w).transpose(0, 2, 3, 1)
-    idx_w = _reflect_index(jnp.arange(-radius, w + radius), w, edge)
+    idx_w = _border_index(jnp.arange(-radius, w + radius), w, mode)
     xp = xh[:, :, idx_w, :]
     kw = k.reshape(1, -1, 1, 1)
     xw = jax.lax.conv_general_dilated(
@@ -130,6 +154,7 @@ def _sep_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0,
         (1, 1),
         "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return xw.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
@@ -147,6 +172,7 @@ def _conv2d_same(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
         (1, 1),
         "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
@@ -241,8 +267,9 @@ def speckle_noise(x, severity, key):
 # ---------------------------------------------------------------------------
 
 def gaussian_blur(x, severity, key=None):
+    # skimage.filters.gaussian default border mode is 'nearest'
     c = [1, 2, 3, 4, 6][severity - 1]
-    return _clip01(_sep_blur(x / 255.0, c)) * 255.0
+    return _clip01(_sep_blur(x / 255.0, c, mode="nearest")) * 255.0
 
 
 def _disk_kernel(radius: int, alias_blur: float) -> np.ndarray:
@@ -313,13 +340,22 @@ def _streak_blur(x: jnp.ndarray, radius: int, sigma: float,
 
 
 def motion_blur(x, severity, key, n_angles: int = 16,
-                angle_range=(-45.0, 45.0)):
+                angle_range=(-45.0, 45.0), exact_render=False):
     """Motion blur: the original draws angle ~ U(-45, 45) per image and
     runs the one-sided shift loop; we discretize the angle draw into an
-    `n_angles` bank and select per image."""
+    `n_angles` bank and select per image.
+
+    exact_render=True reproduces the pre-rendered -C bits: the reference
+    seeds np.random.seed(1) before every render, so the angle draw is the
+    FIXED first uniform(-45, 45) of that stream (the same angle for every
+    image in a reference-rendered motion_blur tree) — the shift loop
+    itself is already exact (same-draws oracle test)."""
     radius, sigma = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][
         severity - 1
     ]
+    if exact_render:
+        angle = float(np.random.RandomState(1).uniform(-45.0, 45.0))
+        return _clip01(_streak_blur(x / 255.0, radius, sigma, angle)) * 255.0
     b = x.shape[0]
     angles = np.linspace(angle_range[0], angle_range[1], n_angles)
     idx = jax.random.randint(key, (b,), 0, n_angles)
@@ -373,21 +409,100 @@ def zoom_blur(x, severity, key=None):
     return _clip01(out) * 255.0
 
 
-def glass_blur(x, severity, key):
-    sigma, max_delta, iters = [
-        (0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2)
-    ][severity - 1]
+# (sigma, max_delta, iterations) — imagecorruptions glass_blur severities
+GLASS_CONSTANTS = [
+    (0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2)
+]
+_GLASS_PERMS: dict = {}
+
+
+def glass_blur_permutation(h: int, w: int, severity: int,
+                           rng=None) -> np.ndarray:
+    """Compose the original's SEQUENTIAL interior pixel swaps into one
+    gather. imagecorruptions' glass_blur walks the interior in descending
+    order swapping each pixel with a random neighbor — the swaps are
+    image-independent transpositions, so the whole cascade is a single
+    permutation of pixel indices determined by (h, w, the RNG stream)
+    alone. Composing it once on host (C++ `glass_compose`, python
+    fallback) turns the inherently-serial loop into one batched device
+    gather with bit-identical results.
+
+    rng defaults to np.random.RandomState(1): the reference seeds
+    np.random.seed(1) before every render (`tools/make_datasets.py:40`),
+    making the permutation a pure function of (h, w, severity) on the
+    dataset-synthesis path. Returns int32 (h*w,) source indices
+    (out.flat[i] = img.flat[perm[i]] per channel)."""
+    _, max_delta, iters = GLASS_CONSTANTS[severity - 1]
+    if rng is None:
+        key = (h, w, severity)
+        if key in _GLASS_PERMS:
+            return _GLASS_PERMS[key]
+        rng = np.random.RandomState(1)
+        cache_key = key
+    else:
+        cache_key = None
+    n_h = len(range(h - max_delta, max_delta, -1))
+    n_w = len(range(w - max_delta, max_delta, -1))
+    # one bulk randint consumes the MT19937 stream exactly like the
+    # original's per-swap `randint(-d, d, size=(2,))` calls (element-wise
+    # rejection sampling in C order; asserted in tests/test_corruptions.py)
+    deltas = rng.randint(
+        -max_delta, max_delta, size=(iters * n_h * n_w, 2)
+    ).astype(np.int32)
+    from ..native import glass_compose
+
+    perm = glass_compose(h, w, max_delta, iters, deltas)
+    if cache_key is not None:
+        _GLASS_PERMS[cache_key] = perm
+    return perm
+
+
+def _glass_apply(x, severity, perm):
+    """imagecorruptions glass_blur verbatim given the composed swap
+    permutation: skimage-gaussian blur (mode='nearest') -> np.uint8
+    truncation -> permutation gather -> blur -> clip. float32 where the
+    original runs float64 (difference bounded in tests)."""
+    sigma, _, _ = GLASS_CONSTANTS[severity - 1]
     b, h, w, c = x.shape
-    out = _sep_blur(x / 255.0, sigma)
+    out = _sep_blur(x / 255.0, sigma, mode="nearest")
+    # np.uint8(v * 255) truncates toward zero
+    out = jnp.floor(jnp.clip(out * 255.0, 0.0, 255.0))
+    out = jnp.take(out.reshape(b, h * w, c), perm, axis=1)
+    out = _sep_blur(out.reshape(b, h, w, c) / 255.0, sigma, mode="nearest")
+    return _clip01(out) * 255.0
+
+
+def glass_blur(x, severity, key, exact_render=False):
+    """exact_render=True reproduces the pre-rendered -C dataset bits
+    (seed-1 swap permutation, see glass_blur_permutation) — used by
+    make_datasets and the on-the-fly eval sweep. The key-driven form
+    (training-time `--random_corruption`, where the reference consumes
+    the free-running np.random stream) applies the same number of random
+    local displacements as one parallel gather over the same interior
+    region — the one remaining sanctioned deviation (a parallel gather
+    can duplicate pixels where the serial swaps conserve them)."""
+    sigma, max_delta, iters = GLASS_CONSTANTS[severity - 1]
+    b, h, w, c = x.shape
+    if exact_render:
+        perm = jnp.asarray(glass_blur_permutation(h, w, severity))
+        return _glass_apply(x, severity, perm)
+    out = _sep_blur(x / 255.0, sigma, mode="nearest")
+    out = jnp.floor(jnp.clip(out * 255.0, 0.0, 255.0))
+    interior_y = (jnp.arange(h) > max_delta) & (jnp.arange(h) < h - max_delta + 1)
+    interior_x = (jnp.arange(w) > max_delta) & (jnp.arange(w) < w - max_delta + 1)
+    interior = interior_y[None, :, None] & interior_x[None, None, :]
     for it in range(iters):
         key, k1 = jax.random.split(key)
-        d = jax.random.randint(k1, (b, h, w, 2), -max_delta, max_delta + 1)
+        # the original draws in [-max_delta, max_delta) — randint's upper
+        # bound is exclusive — and only displaces interior pixels
+        d = jax.random.randint(k1, (b, h, w, 2), -max_delta, max_delta)
+        d = jnp.where(interior[..., None], d, 0)
         ys = jnp.clip(jnp.arange(h)[None, :, None] + d[..., 0], 0, h - 1)
         xs = jnp.clip(jnp.arange(w)[None, None, :] + d[..., 1], 0, w - 1)
         flat = out.reshape(b, h * w, c)
         idx = (ys * w + xs).reshape(b, h * w, 1)
         out = jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
-    return _clip01(_sep_blur(out, sigma)) * 255.0
+    return _clip01(_sep_blur(out / 255.0, sigma, mode="nearest")) * 255.0
 
 
 # ---------------------------------------------------------------------------
@@ -656,7 +771,7 @@ def spatter(x, severity, key):
     b, h, w, _ = x.shape
     x01 = x / 255.0
     liquid = jax.random.normal(key, (b, h, w, 1)) * scale + loc
-    liquid = _sep_blur(liquid, sigma)
+    liquid = _sep_blur(liquid, sigma, mode="nearest")
     if not is_mud:
         wet = jnp.where(liquid < thresh, 0.0, liquid)
         # droplet-edge emphasis in place of Canny/distance-transform:
@@ -684,7 +799,7 @@ def spatter(x, severity, key):
         return _clip01(x01 + m * color) * 255.0
     else:
         m = (liquid > thresh).astype(jnp.float32)
-        m = _sep_blur(m, sigma)
+        m = _sep_blur(m, sigma, mode="nearest")
         m = jnp.where(m < 0.8, 0.0, m)
         # mud brown, array order (63, 42, 20)
         color = jnp.concatenate(
@@ -901,10 +1016,13 @@ def _jpeg_channel(x, qtable):
     b, h, w = x.shape
     d = jnp.asarray(_dct_mat())
     blocks = _blockify(x - 128.0)
-    coeff = d @ blocks @ d.T
+    # full-f32 matmuls: TPU's default bf16 passes perturb DCT coefficients
+    # by ~1 — enough to flip `round(coeff/qt)` quantization bins
+    hi = jax.lax.Precision.HIGHEST
+    coeff = jnp.matmul(jnp.matmul(d, blocks, precision=hi), d.T, precision=hi)
     qt = jnp.asarray(qtable)
     quant = jnp.round(coeff / qt) * qt
-    rec = d.T @ quant @ d
+    rec = jnp.matmul(jnp.matmul(d.T, quant, precision=hi), d, precision=hi)
     return _unblockify(rec, b, h, w) + 128.0
 
 
@@ -980,13 +1098,31 @@ CORRUPTIONS = {
 }
 
 
-def corrupt(x: jnp.ndarray, name: str, severity: int, key=None) -> jnp.ndarray:
+# Render-path (pre-rendered -C dataset) variants. The reference seeds
+# np.random.seed(1) before EVERY corrupt call (`tools/make_datasets.py:40`),
+# which makes each render's random draws a pure function of
+# (corruption, severity, image shape) — so they can be replicated on host
+# with the same MT19937 stream and folded into the compiled program as
+# constants, bit-matching a reference-rendered tree (mod float32).
+EXACT_RENDER = {
+    "glass_blur": lambda x, s, k: glass_blur(x, s, k, exact_render=True),
+    "motion_blur": lambda x, s, k: motion_blur(x, s, k, exact_render=True),
+}
+
+
+def corrupt(x: jnp.ndarray, name: str, severity: int, key=None,
+            exact_render: bool = False) -> jnp.ndarray:
     """Apply a corruption by name. x: (B, H, W, 3) float [0, 255];
-    severity 1..5."""
+    severity 1..5. exact_render=True selects the pre-rendered-dataset
+    semantics where they differ from the traced key-driven form (see
+    EXACT_RENDER) — used by make_datasets and the on-the-fly eval sweep
+    so their bits match a reference-rendered -C tree."""
     if name not in CORRUPTIONS:
         raise KeyError(f"unknown corruption '{name}'")
     if not 1 <= severity <= 5:
         raise ValueError(f"severity must be 1..5, got {severity}")
     if key is None:
         key = jax.random.PRNGKey(1)  # make_datasets seeds deterministically
+    if exact_render and name in EXACT_RENDER:
+        return EXACT_RENDER[name](x, severity, key)
     return CORRUPTIONS[name](x, severity, key)

@@ -525,7 +525,8 @@ def test_glass_blur_vs_sequential_swap_oracle():
     def oracle(seed, sigma, max_delta, iters):
         r = np.random.RandomState(seed)
         out = np.uint8(
-            gaussian_filter(x / 255.0, sigma=(sigma, sigma, 0)) * 255)
+            gaussian_filter(x / 255.0, sigma=(sigma, sigma, 0),
+                            mode="nearest") * 255)
         for _ in range(iters):
             for hh in range(h - max_delta, max_delta, -1):
                 for ww in range(w - max_delta, max_delta, -1):
@@ -534,7 +535,8 @@ def test_glass_blur_vs_sequential_swap_oracle():
                     out[hh, ww], out[hp, wp] = (
                         out[hp, wp].copy(), out[hh, ww].copy())
         return np.clip(
-            gaussian_filter(out / 255.0, sigma=(sigma, sigma, 0)), 0, 1
+            gaussian_filter(out / 255.0, sigma=(sigma, sigma, 0),
+                            mode="nearest"), 0, 1
         ) * 255
 
     for sev in (2, 5):
@@ -552,6 +554,80 @@ def test_glass_blur_vs_sequential_swap_oracle():
         np.testing.assert_allclose(
             np.sort(got.ravel()), np.sort(o1.ravel()), atol=40,
         )
+
+
+def test_glass_blur_exact_render_bit_parity():
+    """exact_render glass_blur vs the verbatim sequential-swap original.
+    (a) one bulk randint call consumes the MT19937 stream identically to
+    the original's per-swap randint(-d, d, size=(2,)) calls; (b) the
+    composed permutation (native glass_compose, python fallback)
+    reproduces the in-place swap cascade BIT-FOR-BIT; (c) the full device
+    chain matches a float64 scipy oracle of imagecorruptions' glass_blur
+    (skimage 'nearest' blur, np.uint8 truncation between stages) to
+    within float32-vs-float64 truncation rounding."""
+    from scipy.ndimage import gaussian_filter
+    from advmix_tpu.ops.corruptions import (
+        GLASS_CONSTANTS, glass_blur_permutation)
+
+    h, w = 17, 23
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 256, (h, w, 3)).astype(np.float32)
+
+    # (a) bulk-vs-sequential draw equivalence
+    r1 = np.random.RandomState(11)
+    seq = np.stack([r1.randint(-3, 3, size=(2,)) for _ in range(64)])
+    r2 = np.random.RandomState(11)
+    np.testing.assert_array_equal(seq, r2.randint(-3, 3, size=(64, 2)))
+
+    for sev in (1, 4):
+        sigma, max_delta, iters = GLASS_CONSTANTS[sev - 1]
+
+        # (b) permutation == the verbatim swap cascade on an index image
+        img_idx = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        r = np.random.RandomState(1)
+        ref = img_idx.copy()
+        for _ in range(iters):
+            for hh in range(h - max_delta, max_delta, -1):
+                for ww in range(w - max_delta, max_delta, -1):
+                    dx, dy = r.randint(-max_delta, max_delta, size=(2,))
+                    hp, wp = hh + dy, ww + dx
+                    ref[hh, ww], ref[hp, wp] = ref[hp, wp], ref[hh, ww]
+        perm = glass_blur_permutation(
+            h, w, sev, rng=np.random.RandomState(1))
+        np.testing.assert_array_equal(ref.ravel(), img_idx.ravel()[perm])
+
+        # (c) full chain vs the float64 oracle
+        out8 = np.uint8(gaussian_filter(
+            x / 255.0, sigma=(sigma, sigma, 0), mode="nearest") * 255)
+        shuffled = out8.reshape(h * w, 3)[perm].reshape(h, w, 3)
+        want = np.clip(gaussian_filter(
+            shuffled / 255.0, sigma=(sigma, sigma, 0), mode="nearest"),
+            0, 1) * 255
+        got = np.asarray(C.corrupt(
+            jnp.asarray(x[None]), "glass_blur", sev,
+            jax.random.PRNGKey(0), exact_render=True))[0]
+        assert np.abs(got - want).max() < 1.5, sev
+        assert np.abs(got - want).mean() < 0.05, sev
+
+
+def test_motion_blur_exact_render_uses_seed1_angle():
+    """exact_render motion_blur must use the exact continuous angle the
+    reference's seeded stream produces — np.random.seed(1) then
+    uniform(-45, 45) — instead of the 16-angle bank (the bank is the
+    documented deviation of the traced path only)."""
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (1, 20, 24, 3)).astype(np.float32)
+    angle = float(np.random.RandomState(1).uniform(-45.0, 45.0))
+    want = np.asarray(
+        jnp.clip(C._streak_blur(jnp.asarray(x) / 255.0, 10, 3, angle),
+                 0, 1) * 255.0
+    )
+    got = np.asarray(C.corrupt(jnp.asarray(x), "motion_blur", 1,
+                               jax.random.PRNGKey(7), exact_render=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # and the bank cannot produce that angle (it is not a bank member)
+    bank = np.linspace(-45.0, 45.0, 16)
+    assert np.abs(bank - angle).min() > 1e-3
 
 
 def test_motion_blur_matches_shift_loop_oracle(img):
@@ -615,11 +691,11 @@ def test_motion_blur_matches_shift_loop_oracle(img):
 def test_spatter_mud_matches_oracle_and_water_statistics():
     """Spatter (holdout): mud arm (severities 4-5) against a same-draws
     scipy oracle of the published formula (normal field -> gaussian ->
-    threshold mask -> re-gaussian -> 0.8 cut -> mud-brown replace);
-    interior pixels must match tightly (boundary mode differs from
-    skimage's 'nearest' within the blur radius). Water arm (1-3) against
-    the published cv2 chain (Canny -> distanceTransform -> equalizeHist
-    -> emboss), distribution-level: similar coverage and color direction."""
+    threshold mask -> re-gaussian -> 0.8 cut -> mud-brown replace), with
+    skimage.filters.gaussian's 'nearest' border mode — full-image tight
+    match including the edge band. Water arm (1-3) against the published
+    cv2 chain (Canny -> distanceTransform -> equalizeHist -> emboss),
+    distribution-level: similar coverage and color direction."""
     import cv2
     from scipy.ndimage import gaussian_filter
 
@@ -637,14 +713,13 @@ def test_spatter_mud_matches_oracle_and_water_statistics():
         got = np.asarray(C.corrupt(jnp.asarray(x[None]), "spatter", sev, key))[0]
         liquid = np.asarray(jax.random.normal(key, (1, h, w, 1)))[0, ..., 0] \
             * scale + loc
-        liquid = gaussian_filter(liquid, sigma, mode="mirror", truncate=4.0)
+        liquid = gaussian_filter(liquid, sigma, mode="nearest", truncate=4.0)
         m = (liquid > thresh).astype(np.float32)
-        m = gaussian_filter(m, sigma, mode="mirror", truncate=4.0)
+        m = gaussian_filter(m, sigma, mode="nearest", truncate=4.0)
         m[m < 0.8] = 0
         color = np.stack([m * 63 / 255., m * 42 / 255., m * 20 / 255.], -1)
         want = np.clip((x / 255.) * (1 - m[..., None]) + color, 0, 1) * 255
-        r = int(4 * sigma + 0.5) + 1
-        err = np.abs(got[r:-r, r:-r] - want[r:-r, r:-r]).max()
+        err = np.abs(got - want).max()
         assert err < 1.0, (sev, err)
 
     # ---- water arm, distribution-level vs the published cv2 chain ----
@@ -656,7 +731,7 @@ def test_spatter_mud_matches_oracle_and_water_statistics():
         got = np.asarray(C.corrupt(jnp.asarray(x[None]), "spatter", sev, key))[0]
         liquid = np.asarray(jax.random.normal(key, (1, h, w, 1)))[0, ..., 0] \
             * scale + loc
-        liquid = gaussian_filter(liquid, sigma, mode="mirror", truncate=4.0)
+        liquid = gaussian_filter(liquid, sigma, mode="nearest", truncate=4.0)
         liquid[liquid < thresh] = 0
         liq_u8 = (liquid * 255).astype(np.uint8)
         dist = 255 - cv2.Canny(liq_u8, 50, 150)

@@ -125,7 +125,8 @@ def main():
         if sig not in compiled:
             compiled[sig] = jax.jit(
                 lambda x, k: jnp.stack(
-                    [corrupt(x, name, s, k) for s in range(1, 6)]
+                    [corrupt(x, name, s, k, exact_render=True)
+                     for s in range(1, 6)]
                 )
             )
         return compiled[sig](batch, key)  # (5, B, H, W, 3)

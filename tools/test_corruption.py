@@ -114,7 +114,8 @@ def main(argv=None):
         def prep(image_u8, joints, joints_vis):
             img = image_u8.astype(jnp.float32)
             if corruption != "clean" and extra_args.on_the_fly:
-                img = corrupt(img, corruption, severity, jax.random.PRNGKey(1))
+                img = corrupt(img, corruption, severity, jax.random.PRNGKey(1),
+                              exact_render=True)
             target, _, tw = generate_target(
                 joints, joints_vis, image_size, heatmap_size, sigma
             )

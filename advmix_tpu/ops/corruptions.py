@@ -7,28 +7,38 @@ Corruptions" taxonomy: 15 benchmark types + 4 holdout types x 5 severities.
 The package is not available in this environment (and its corruptions are
 host-side per-image scipy/skimage loops), so every corruption is
 re-implemented here as a batched jax function over (B, H, W, 3) float
-[0, 255] images with the published severity constants. Known deviations
-from pixel-exact parity (all sanctioned by SURVEY §7.2 — target is
+[0, 255] images with the published severity constants.
+
+TWO FORMS per stochastic corruption:
+- traced (key-driven): jax-PRNG randomness, used for training-time
+  `--random_corruption` where the reference consumes a free-running
+  np.random stream — distribution-level parity is the right target.
+- exact_render=True (the EXACT_RENDER registry): pre-rendered -C dataset
+  semantics. The reference seeds np.random.seed(1) before every render,
+  making each render's draws a pure function of (corruption, severity,
+  shape); we replicate that MT19937 stream on host and fold the draws in
+  as constants. glass_blur (swap permutation), motion_blur (seed-1
+  angle), snow (full layer), elastic_transform (fields + affine jitter),
+  spatter (both arms, incl. the water arm's verbatim host cv2 chain),
+  and frost with a texture bank are bit-matched to a reference-rendered
+  tree up to float32 rounding (same-draws oracle tests); see
+  EXACT_RENDER's comment for what is deliberately left
+  distribution-level (iid noises, fog's plasma).
+
+Remaining sanctioned deviations (SURVEY §7.2 — target is
 distribution-level parity):
 
-- frost: the original overlays 6 bundled frost photographs. When a texture
-  directory is provided (ADVMIX_FROST_DIR or set_frost_texture_dir — e.g.
-  pointing at imagecorruptions' frost_imgs/), the exact published semantics
-  run batched on device (per-image random texture, INTER_CUBIC cover-resize
-  x1.1, random crop, a*x + b*tex blend); otherwise we synthesize a
-  procedural fractal frost texture.
-- glass_blur: EXACT on the dataset-render/eval path (exact_render=True):
-  the original's sequential in-place pixel swaps are image-independent
-  transpositions, composed once on host into a single permutation
-  (native glass_compose) and applied as one batched device gather —
-  same-draws bit-identical up to float32-vs-float64 blur rounding. Only
-  the traced training-time form (key-driven `--random_corruption`)
-  approximates the serial swaps with a parallel displacement gather.
+- frost without a texture directory (ADVMIX_FROST_DIR /
+  set_frost_texture_dir pointing at e.g. imagecorruptions' frost_imgs/
+  gives the exact published semantics): a procedural fractal texture
+  stands in for the bundled photographs.
 - jpeg_compression: real libjpeg encode/decode replaced by on-device 8x8
   DCT quantization with the standard JPEG tables (incl. 2x2 chroma
   subsampling).
-- motion_blur: random angle drawn from a 16-angle bank instead of the
-  continuous uniform(-45, 45).
+- motion_blur traced path: random angle drawn from a 16-angle bank
+  instead of the continuous uniform(-45, 45).
+- glass_blur traced path: parallel displacement gather in place of the
+  serial swap cascade.
 
 All functions: f(x, severity in 1..5, key) -> corrupted x, same shape.
 """
@@ -454,6 +464,8 @@ def glass_blur_permutation(h: int, w: int, severity: int,
     perm = glass_compose(h, w, max_delta, iters, deltas)
     if cache_key is not None:
         _GLASS_PERMS[cache_key] = perm
+        while len(_GLASS_PERMS) > 16:  # bound: h*w int32 each, LRU-ish
+            _GLASS_PERMS.pop(next(iter(_GLASS_PERMS)))
     return perm
 
 
@@ -667,17 +679,40 @@ def _frost_bank(h: int, w: int):
     return out
 
 
-def frost(x, severity, key):
+def _frost_crop_exact(h: int, w: int) -> "np.ndarray | None":
+    """The reference render's frost crop on the seed-1 stream: texture
+    index np.random.randint(5) — the original indexes its SIX-file list
+    with randint(5), so the last texture is never drawn (kept verbatim) —
+    then row offset randint(0, th - h), then col randint(0, tw - w)."""
+    bank = _frost_bank(h, w)
+    if bank is None:
+        return None
+    tex_np, hs, ws = bank
+    rng = np.random.RandomState(1)
+    idx = int(rng.randint(min(5, len(hs))))
+    th, tw = int(hs[idx]), int(ws[idx])
+    y0 = int(rng.randint(0, max(th - h, 1)))
+    x0 = int(rng.randint(0, max(tw - w, 1)))
+    return tex_np[idx, y0:y0 + h, x0:x0 + w].astype(np.float32)
+
+
+def frost(x, severity, key, exact_render=False):
     """Frost overlay x*a + frost*b. With a texture directory configured
     (set_frost_texture_dir / $ADVMIX_FROST_DIR) this is the published
     algorithm batched on device: per image, a random texture, a random
-    crop of its cover-resized canvas, blended and clipped. Without one
-    (this offline environment has no bundled photos) the texture is a
-    procedural fractal plasma sharpened into crystalline streaks."""
+    crop of its cover-resized canvas, blended and clipped
+    (exact_render=True uses the seed-1 texture/crop draws, bit-matching a
+    reference-rendered tree). Without one (this offline environment has
+    no bundled photos) the texture is a procedural fractal plasma
+    sharpened into crystalline streaks."""
     a, bb = [(1, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75)][
         severity - 1
     ]
     b, h, w, _ = x.shape
+    if exact_render:
+        tex = _frost_crop_exact(int(h), int(w))
+        if tex is not None:
+            return jnp.clip(x * a + jnp.asarray(tex)[None] * bb, 0, 255)
     bank = _frost_bank(int(h), int(w))
     if bank is not None:
         tex_np, hs, ws = bank
@@ -712,23 +747,77 @@ def frost(x, severity, key):
     return jnp.clip(x * a + tex[..., None] * bb, 0, 255)
 
 
-def snow(x, severity, key):
-    loc, scale, zoom, thresh, blur_len, blur_sig, blend = [
-        (0.1, 0.3, 3.0, 0.5, 10, 4, 0.8),
-        (0.2, 0.3, 2.0, 0.5, 12, 4, 0.7),
-        (0.55, 0.3, 4.0, 0.9, 12, 8, 0.7),
-        (0.55, 0.3, 4.5, 0.85, 12, 8, 0.65),
-        (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55),
-    ][severity - 1]
+# (loc, scale, zoom, threshold, blur radius, blur sigma, blend)
+SNOW_CONSTANTS = [
+    (0.1, 0.3, 3.0, 0.5, 10, 4, 0.8),
+    (0.2, 0.3, 2.0, 0.5, 12, 4, 0.7),
+    (0.55, 0.3, 4.0, 0.9, 12, 8, 0.7),
+    (0.55, 0.3, 4.5, 0.85, 12, 8, 0.65),
+    (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55),
+]
+
+
+def _snow_composite(x01, layer, blend):
+    """Darken toward a brightened luma (cv2 RGB2GRAY weights), then add the
+    snow layer AND its 180-degree rotation (np.rot90(snow_layer, k=2))."""
+    gray = (
+        0.299 * x01[..., 0:1] + 0.587 * x01[..., 1:2] + 0.114 * x01[..., 2:3]
+    )
+    darkened = jnp.maximum(x01, gray * 1.5 + 0.5)
+    out = blend * x01 + (1 - blend) * darkened
+    return _clip01(out + layer + layer[:, ::-1, ::-1, :]) * 255.0
+
+
+def _snow_layer_exact(h: int, w: int, severity: int) -> np.ndarray:
+    """The reference render's snow layer, host-side float64, replicating
+    the seed-1 np.random stream verbatim: normal flake field ->
+    clipped_zoom (scipy, order=1) -> threshold -> clip[0,1] ->
+    one-sided-shift motion blur at the stream's uniform(-135,-45) angle ->
+    round-to-uint8 -> /255. Image-independent, so one layer serves every
+    image of the shape (exactly like a reference-rendered -C tree)."""
+    from scipy.ndimage import zoom as scizoom
+
+    loc, scale, zoomf, thresh, blen, bsig, _ = SNOW_CONSTANTS[severity - 1]
+    rng = np.random.RandomState(1)
+    field = rng.normal(size=(h, w), loc=loc, scale=scale)
+    angle = float(rng.uniform(-135.0, -45.0))
+    ch0 = int(np.ceil(h / float(zoomf)))
+    top0 = (h - ch0) // 2
+    ch1 = int(np.ceil(w / float(zoomf)))
+    top1 = (w - ch1) // 2
+    layer = scizoom(field[top0:top0 + ch0, top1:top1 + ch1],
+                    (zoomf, zoomf), order=1)[:h, :w]
+    layer[layer < thresh] = 0.0
+    layer = np.clip(layer, 0.0, 1.0)
+    acc = np.zeros_like(layer)
+    ys = np.arange(h)
+    xs = np.arange(w)
+    for dy, dx, wgt in _streak_offsets(blen, bsig, angle, h, w):
+        acc += wgt * layer[np.clip(ys - dy, 0, h - 1)][
+            :, np.clip(xs - dx, 0, w - 1)]
+    layer8 = np.round(acc * 255.0).astype(np.uint8)
+    return (layer8.astype(np.float32) / 255.0)[..., None]
+
+
+def snow(x, severity, key, exact_render=False):
+    loc, scale, zoom, thresh, blur_len, blur_sig, blend = SNOW_CONSTANTS[
+        severity - 1
+    ]
     b, h, w, _ = x.shape
-    k1, k2 = jax.random.split(key)
     x01 = x / 255.0
+    if exact_render:
+        layer = jnp.asarray(_snow_layer_exact(int(h), int(w), severity))[None]
+        return _snow_composite(x01, layer, blend)
+    k1, k2 = jax.random.split(key)
     layer = jax.random.normal(k1, (b, h, w, 1)) * scale + loc
     # zoom the snow layer with clipped_zoom semantics (crop->scizoom->trim)
     m = _clipped_zoom_matrix(h, w, zoom)
     mats = jnp.broadcast_to(jnp.asarray(m), (b, 2, 3))
     layer = warp_affine(layer, mats, (w, h))
     layer = jnp.where(layer < thresh, 0.0, layer)
+    # the original clips the thresholded layer to [0,1] (the PIL-uint8
+    # contract of the wand-era code) BEFORE the motion blur
+    layer = jnp.clip(layer, 0.0, 1.0)
     # motion-blur the flakes; the original draws angle ~ U(-135, -45)
     snow_angles = np.linspace(-135.0, -45.0, 8)
     idx = jax.random.randint(k2, (b,), 0, len(snow_angles))
@@ -738,38 +827,109 @@ def snow(x, severity, key):
     layer = jnp.take_along_axis(outs, idx[None, :, None, None, None], axis=0)[0]
     # the original rounds the blurred layer to uint8 range
     layer = jnp.round(layer * 255.0) / 255.0
-    # darken toward a brightened luma (cv2 RGB2GRAY weights), then add the
-    # snow layer AND its 180-degree rotation (np.rot90(snow_layer, k=2))
-    gray = (
-        0.299 * x01[..., 0:1] + 0.587 * x01[..., 1:2] + 0.114 * x01[..., 2:3]
-    )
-    darkened = jnp.maximum(x01, gray * 1.5 + 0.5)
-    out = blend * x01 + (1 - blend) * darkened
-    return _clip01(out + layer + layer[:, ::-1, ::-1, :]) * 255.0
+    return _snow_composite(x01, layer, blend)
 
 
-def spatter(x, severity, key):
+# (loc, scale, blur sigma, threshold, intensity, mud-flag)
+SPATTER_CONSTANTS = [
+    (0.65, 0.3, 4, 0.69, 0.6, 0),
+    (0.65, 0.3, 3, 0.68, 0.6, 0),
+    (0.65, 0.3, 2, 0.68, 0.5, 0),
+    (0.65, 0.3, 1, 0.65, 1.5, 1),
+    (0.67, 0.4, 1, 0.65, 1.5, 1),
+]
+
+
+def _spatter_mud_mask_exact(h: int, w: int, severity: int) -> np.ndarray:
+    """The mud arm's mask, host-side float64 on the seed-1 stream:
+    normal liquid field -> skimage-gaussian('nearest') -> >thresh ->
+    re-gaussian -> 0.8 cut. Image-independent."""
+    from scipy.ndimage import gaussian_filter
+
+    loc, scale, sigma, thresh, _, is_mud = SPATTER_CONSTANTS[severity - 1]
+    assert is_mud, severity
+    rng = np.random.RandomState(1)
+    liquid = rng.normal(size=(h, w), loc=loc, scale=scale)
+    liquid = gaussian_filter(liquid, sigma, mode="nearest", truncate=4.0)
+    m = (liquid > thresh).astype(np.float64)
+    m = gaussian_filter(m, sigma, mode="nearest", truncate=4.0)
+    m[m < 0.8] = 0.0
+    return m.astype(np.float32)
+
+
+def _spatter_water_mask_exact(h: int, w: int, severity: int) -> np.ndarray:
+    """The water arm's droplet mask, host-side on the seed-1 stream,
+    running the PUBLISHED cv2 chain verbatim (it is image-independent, so
+    the traced path's batched-TPU stand-in is unnecessary here): liquid
+    field -> skimage-gaussian('nearest') -> threshold -> *255 uint8 (with
+    the original's overflow wrap) -> 255-Canny -> L2 distanceTransform ->
+    TRUNC threshold at 20 -> 3x3 blur -> equalizeHist -> emboss filter2D
+    -> 3x3 blur -> m = uint8_field * dist, normalized to max, * intensity."""
+    import cv2
+    from scipy.ndimage import gaussian_filter
+
+    loc, scale, sigma, thresh, inten, is_mud = SPATTER_CONSTANTS[severity - 1]
+    assert not is_mud, severity
+    rng = np.random.RandomState(1)
+    liquid = rng.normal(size=(h, w), loc=loc, scale=scale)
+    liquid = gaussian_filter(liquid, sigma, mode="nearest", truncate=4.0)
+    liquid[liquid < thresh] = 0.0
+    liq_u8 = (liquid * 255).astype(np.uint8)
+    dist = 255 - cv2.Canny(liq_u8, 50, 150)
+    dist = cv2.distanceTransform(dist, cv2.DIST_L2, 5)
+    _, dist = cv2.threshold(dist, 20, 20, cv2.THRESH_TRUNC)
+    dist = cv2.blur(dist, (3, 3)).astype(np.uint8)
+    dist = cv2.equalizeHist(dist)
+    ker = np.array([[-2, -1, 0], [-1, 1, 1], [0, 1, 2]])
+    dist = cv2.filter2D(dist, cv2.CV_8U, ker)
+    dist = cv2.blur(dist, (3, 3)).astype(np.float32)
+    m = liq_u8.astype(np.float32) * dist
+    m /= max(float(m.max()), 1e-8)
+    return (m * inten).astype(np.float32)
+
+
+def spatter(x, severity, key, exact_render=False):
     """Spatter (holdout corruption). Config tuples follow imagecorruptions
     (loc, scale, blur sigma, threshold, intensity, mud-flag): severities
     1-3 are the water arm, 4-5 the mud arm.
 
-    The mud arm reproduces the published formula exactly (threshold ->
-    re-blur -> 0.8 cut -> mud-brown replace; oracle-tested). The water
-    arm's published form runs a cv2 chain (Canny -> distanceTransform ->
-    equalizeHist -> emboss) that has no sane batched-TPU equivalent; ours
-    keeps its published skeleton (blurred liquid field, threshold,
-    droplet-edge emphasis, pale-turquoise additive color scaled by c[4])
-    with a gradient-magnitude edge term standing in for the cv2 chain —
+    With exact_render=True BOTH arms are exact: the masks are
+    image-independent, so the seed-1 host field (mud) and the published
+    cv2 chain run verbatim on host (water) and fold in as constants —
+    bit-matched to a reference-rendered tree.
+
+    On the traced (key-driven) path the mud arm still reproduces the
+    published formula exactly (threshold -> re-blur -> 0.8 cut ->
+    mud-brown replace; oracle-tested), while the water arm's cv2 chain
+    (Canny -> distanceTransform -> equalizeHist -> emboss) has no sane
+    batched-TPU equivalent; the traced water arm keeps its published
+    skeleton (blurred liquid field, threshold, droplet-edge emphasis,
+    pale-turquoise additive color scaled by c[4]) with a
+    gradient-magnitude edge term standing in for the cv2 chain —
     distribution-level parity only, quantified in tests."""
-    loc, scale, sigma, thresh, inten, is_mud = [
-        (0.65, 0.3, 4, 0.69, 0.6, 0),
-        (0.65, 0.3, 3, 0.68, 0.6, 0),
-        (0.65, 0.3, 2, 0.68, 0.5, 0),
-        (0.65, 0.3, 1, 0.65, 1.5, 1),
-        (0.67, 0.4, 1, 0.65, 1.5, 1),
-    ][severity - 1]
+    loc, scale, sigma, thresh, inten, is_mud = SPATTER_CONSTANTS[severity - 1]
     b, h, w, _ = x.shape
     x01 = x / 255.0
+    if exact_render:
+        if is_mud:
+            m = jnp.asarray(
+                _spatter_mud_mask_exact(int(h), int(w), severity)
+            )[None, :, :, None]
+            color = jnp.concatenate(
+                [m * 63 / 255.0, m * 42 / 255.0, m * 20 / 255.0], axis=-1
+            )
+            return _clip01(x01 * (1 - m) + color) * 255.0
+        m = jnp.asarray(
+            _spatter_water_mask_exact(int(h), int(w), severity)
+        )[None, :, :, None]
+        # pale turquoise, RGB order (the original's BGRA round-trip only
+        # adds/strips alpha)
+        color = jnp.concatenate(
+            [jnp.broadcast_to(jnp.float32(175 / 255.0), m.shape),
+             jnp.broadcast_to(jnp.float32(238 / 255.0), m.shape),
+             jnp.broadcast_to(jnp.float32(238 / 255.0), m.shape)], axis=-1
+        )
+        return _clip01(x01 + m * color) * 255.0
     liquid = jax.random.normal(key, (b, h, w, 1)) * scale + loc
     liquid = _sep_blur(liquid, sigma, mode="nearest")
     if not is_mud:
@@ -934,14 +1094,36 @@ def _elastic_core(x01, delta, noise_dx, noise_dy, alpha, sigma):
     return _clip01(out)
 
 
-def elastic_transform(x, severity, key):
+def _elastic_draws_exact(h: int, w: int, severity: int):
+    """The reference render's elastic draws on the seed-1 stream, in its
+    consumption order: affine-jitter uniform(-c2, c2, (3, 2)) first, then
+    the raw dx uniform(-1, 1, (h, w)) field, then dy."""
+    alpha, sigma, jitter = ELASTIC_CONSTANTS[severity - 1]
+    rng = np.random.RandomState(1)
+    delta = rng.uniform(-jitter, jitter, size=(3, 2)).astype(np.float32)
+    ndx = rng.uniform(-1, 1, size=(h, w)).astype(np.float32)
+    ndy = rng.uniform(-1, 1, size=(h, w)).astype(np.float32)
+    return delta, ndx, ndy
+
+
+def elastic_transform(x, severity, key, exact_render=False):
     """ImageNet-C elastic: random affine jitter of a center-square triangle
     (cv2.getAffineTransform + warpAffine BORDER_REFLECT_101) followed by a
     Gaussian-smoothed displacement field (imagecorruptions corruptions.py
     elastic_transform; constants are the 244-scale (alpha, sigma,
-    affine-jitter) triples, truncate=3 blur as in the scipy call)."""
+    affine-jitter) triples, truncate=3 blur as in the scipy call).
+    exact_render=True injects the seed-1 host draws (shared by every image
+    of the shape, exactly like a reference-rendered tree)."""
     b, h, w, ch = x.shape
     alpha, sigma, jitter = ELASTIC_CONSTANTS[severity - 1]
+    if exact_render:
+        d, ndx, ndy = _elastic_draws_exact(int(h), int(w), severity)
+        delta = jnp.broadcast_to(jnp.asarray(d)[None], (b, 3, 2))
+        ndx = jnp.broadcast_to(
+            jnp.asarray(ndx)[None, ..., None], (b, h, w, 1))
+        ndy = jnp.broadcast_to(
+            jnp.asarray(ndy)[None, ..., None], (b, h, w, 1))
+        return _elastic_core(x / 255.0, delta, ndx, ndy, alpha, sigma) * 255.0
     k1, k2, k3 = jax.random.split(key, 3)
     delta = jax.random.uniform(k3, (b, 3, 2), minval=-jitter, maxval=jitter)
     ndx = jax.random.uniform(k1, (b, h, w, 1)) * 2 - 1
@@ -1104,9 +1286,26 @@ CORRUPTIONS = {
 # (corruption, severity, image shape) — so they can be replicated on host
 # with the same MT19937 stream and folded into the compiled program as
 # constants, bit-matching a reference-rendered tree (mod float32).
+#
+# Deliberately NOT stream-matched (distribution-level by design):
+# - gaussian/shot/impulse/speckle noise: iid (conditionally-)independent
+#   fields; stream-matching adds nothing statistically, shot_noise's
+#   Poisson draws depend on pixel values, impulse goes through skimage
+#   random_noise whose internal RNG is version-dependent, and noise
+#   corruptions render on padded canvases (bucketed group) where a
+#   row-major stream can't match the true-resolution draw anyway.
+# - fog: the plasma oracle is same-draws (tests inject identical noises
+#   into both sides); the original's wibble amplitude convention can't be
+#   re-verified offline, so claiming host-stream exactness would be
+#   dishonest. The traced path stays.
 EXACT_RENDER = {
     "glass_blur": lambda x, s, k: glass_blur(x, s, k, exact_render=True),
     "motion_blur": lambda x, s, k: motion_blur(x, s, k, exact_render=True),
+    "snow": lambda x, s, k: snow(x, s, k, exact_render=True),
+    "elastic_transform": lambda x, s, k: elastic_transform(
+        x, s, k, exact_render=True),
+    "spatter": lambda x, s, k: spatter(x, s, k, exact_render=True),
+    "frost": lambda x, s, k: frost(x, s, k, exact_render=True),
 }
 
 

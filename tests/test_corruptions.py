@@ -474,6 +474,8 @@ def test_snow_matches_compositing_oracle():
         layer = scizoom(flakes[0, top0:top0 + ch0, top1:top1 + ch1, 0],
                         (zoomf, zoomf), order=1)[:h, :w]
         layer[layer < thresh] = 0.0
+        # the original clips to [0,1] (PIL-uint8 contract) before the blur
+        layer = np.clip(layer, 0.0, 1.0)
         # one-sided shift-loop motion blur (same algorithm as the
         # exact oracle in test_motion_blur_matches_shift_loop_oracle)
         import math as _m
@@ -505,6 +507,147 @@ def test_snow_matches_compositing_oracle():
         ) * 255.0
         err = np.abs(got[0] - want).max()
         assert err < 1.5, (sev, err)  # bilinear-vs-scipy + rounding eps
+
+
+def test_exact_render_snow_elastic_spatter_vs_seed1_oracles():
+    """corrupt(..., exact_render=True) for snow / elastic_transform /
+    spatter(mud) against independent float64 numpy/scipy oracles that
+    implement the imagecorruptions formulas verbatim on the seed-1
+    np.random stream (the reference seeds np.random.seed(1) before every
+    render, `/root/reference/tools/make_datasets.py:40`)."""
+    from scipy.ndimage import gaussian_filter, zoom as scizoom
+    import math as _m
+
+    rng = np.random.RandomState(9)
+    h, w = 26, 30
+    x = rng.randint(0, 256, (2, h, w, 3)).astype(np.float32)
+    x01 = x / 255.0
+
+    # ---- snow (sev 2 and 5) ----
+    for sev in (2, 5):
+        loc, scale, zoomf, thresh, blen, bsig, blend = [
+            (0.1, 0.3, 3.0, 0.5, 10, 4, 0.8),
+            (0.2, 0.3, 2.0, 0.5, 12, 4, 0.7),
+            (0.55, 0.3, 4.0, 0.9, 12, 8, 0.7),
+            (0.55, 0.3, 4.5, 0.85, 12, 8, 0.65),
+            (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55),
+        ][sev - 1]
+        r = np.random.RandomState(1)
+        field = r.normal(size=(h, w), loc=loc, scale=scale)
+        angle = float(r.uniform(-135.0, -45.0))
+        ch0 = int(np.ceil(h / zoomf)); top0 = (h - ch0) // 2
+        ch1 = int(np.ceil(w / zoomf)); top1 = (w - ch1) // 2
+        layer = scizoom(field[top0:top0 + ch0, top1:top1 + ch1],
+                        (zoomf, zoomf), order=1)[:h, :w]
+        layer[layer < thresh] = 0.0
+        layer = np.clip(layer, 0.0, 1.0)
+        width = 2 * blen + 1
+        nn = np.arange(width, dtype=np.float64)
+        k1d = np.exp(-0.5 * ((nn - (width - 1) / 2.0) / bsig) ** 2)
+        k1d /= k1d.sum()
+        rad = _m.radians(angle)
+        acc = np.zeros_like(layer)
+        ys = np.arange(h); xs = np.arange(w)
+        for i in range(width):
+            dy = -int(_m.ceil(i * _m.sin(rad) - 0.5))
+            dx = -int(_m.ceil(i * _m.cos(rad) - 0.5))
+            if abs(dy) >= h or abs(dx) >= w:
+                break
+            acc += k1d[i] * layer[np.clip(ys - dy, 0, h - 1)][
+                :, np.clip(xs - dx, 0, w - 1)]
+        lay = (np.round(acc * 255.0).astype(np.uint8) / 255.0)[..., None]
+        gray = (0.299 * x01[..., 0:1] + 0.587 * x01[..., 1:2]
+                + 0.114 * x01[..., 2:3])
+        darkened = np.maximum(x01, gray * 1.5 + 0.5)
+        out = blend * x01 + (1 - blend) * darkened
+        want = np.clip(out + lay[None] + np.rot90(lay, k=2)[None], 0, 1) * 255
+        got = np.asarray(C.corrupt(jnp.asarray(x), "snow", sev,
+                                   jax.random.PRNGKey(4), exact_render=True))
+        assert np.abs(got - want).max() < 0.01, sev
+
+    # ---- elastic (sev 1 geometry-heavy, sev 5 field-heavy) ----
+    for sev in (1, 5):
+        import cv2
+
+        alpha, sigma, jitter = C.ELASTIC_CONSTANTS[sev - 1]
+        r = np.random.RandomState(1)
+        delta = r.uniform(-jitter, jitter, size=(3, 2)).astype(np.float32)
+        ndx = r.uniform(-1, 1, size=(h, w))
+        ndy = r.uniform(-1, 1, size=(h, w))
+        pts1 = C.elastic_points(h, w)
+        M = cv2.getAffineTransform(pts1, pts1 + delta)
+        want = np.stack([
+            cv2.warpAffine(x01[i], M, (w, h),
+                           borderMode=cv2.BORDER_REFLECT_101)
+            for i in range(2)
+        ])
+        dx = gaussian_filter(ndx, sigma, mode="reflect",
+                             truncate=3.0) * alpha
+        dy = gaussian_filter(ndy, sigma, mode="reflect",
+                             truncate=3.0) * alpha
+        from scipy.ndimage import map_coordinates
+
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        want = np.stack([
+            np.stack([
+                map_coordinates(want[i, ..., c2], [yy + dy, xx + dx],
+                                order=1, mode="reflect")
+                for c2 in range(3)
+            ], axis=-1)
+            for i in range(2)
+        ])
+        want = np.clip(want, 0, 1) * 255.0
+        got = np.asarray(C.corrupt(jnp.asarray(x), "elastic_transform", sev,
+                                   jax.random.PRNGKey(4), exact_render=True))
+        d = np.abs(got - want)
+        assert d.max() < 0.75, (sev, d.max())  # f32 bilinear vs f64 scipy
+
+    # ---- spatter mud arm (sev 4, 5) ----
+    for sev in (4, 5):
+        loc, scale, sigma, thresh, _, is_mud = C.SPATTER_CONSTANTS[sev - 1]
+        assert is_mud
+        r = np.random.RandomState(1)
+        liquid = r.normal(size=(h, w), loc=loc, scale=scale)
+        liquid = gaussian_filter(liquid, sigma, mode="nearest", truncate=4.0)
+        m = (liquid > thresh).astype(np.float64)
+        m = gaussian_filter(m, sigma, mode="nearest", truncate=4.0)
+        m[m < 0.8] = 0
+        mm = m[..., None]
+        color = np.concatenate([mm * 63, mm * 42, mm * 20], axis=-1) / 255.0
+        want = np.clip(x01 * (1 - mm[None]) + color[None], 0, 1) * 255.0
+        got = np.asarray(C.corrupt(jnp.asarray(x), "spatter", sev,
+                                   jax.random.PRNGKey(4), exact_render=True))
+        assert np.abs(got - want).max() < 0.01, sev
+
+    # ---- spatter water arm (sev 1, 3): the verbatim cv2 chain ----
+    import cv2
+
+    for sev in (1, 3):
+        loc, scale, sigma, thresh, inten, is_mud = C.SPATTER_CONSTANTS[sev - 1]
+        assert not is_mud
+        r = np.random.RandomState(1)
+        liquid = r.normal(size=(h, w), loc=loc, scale=scale)
+        liquid = gaussian_filter(liquid, sigma, mode="nearest", truncate=4.0)
+        liquid[liquid < thresh] = 0
+        liq_u8 = (liquid * 255).astype(np.uint8)
+        dist = 255 - cv2.Canny(liq_u8, 50, 150)
+        dist = cv2.distanceTransform(dist, cv2.DIST_L2, 5)
+        _, dist = cv2.threshold(dist, 20, 20, cv2.THRESH_TRUNC)
+        dist = cv2.blur(dist, (3, 3)).astype(np.uint8)
+        dist = cv2.equalizeHist(dist)
+        ker = np.array([[-2, -1, 0], [-1, 1, 1], [0, 1, 2]])
+        dist = cv2.filter2D(dist, cv2.CV_8U, ker)
+        dist = cv2.blur(dist, (3, 3)).astype(np.float32)
+        m = liq_u8.astype(np.float32) * dist
+        m /= max(float(m.max()), 1e-8)
+        m = (m * inten)[..., None]
+        color = np.concatenate([np.full_like(m, 175 / 255.0),
+                                np.full_like(m, 238 / 255.0),
+                                np.full_like(m, 238 / 255.0)], axis=-1)
+        want = np.clip(x01 + m[None] * color[None], 0, 1) * 255.0
+        got = np.asarray(C.corrupt(jnp.asarray(x), "spatter", sev,
+                                   jax.random.PRNGKey(4), exact_render=True))
+        assert np.abs(got - want).max() < 0.01, sev
 
 
 def test_glass_blur_vs_sequential_swap_oracle():
@@ -826,6 +969,20 @@ def test_frost_texture_bank(tmp_path):
             interpolation=cv2.INTER_CUBIC,
         )
         np.testing.assert_array_equal(bank[0, : hs[0], : ws[0]], big[..., ::-1])
+
+        # exact_render: seed-1 stream draws — texture idx randint(min(5, N))
+        # (the reference indexes its 6-file list with randint(5)), then
+        # row/col offsets randint(0, dim - crop); one crop for every image
+        r = np.random.RandomState(1)
+        eidx = int(r.randint(min(5, len(hs))))
+        th_, tw_ = int(hs[eidx]), int(ws[eidx])
+        ey = int(r.randint(0, max(th_ - h, 1)))
+        ex = int(r.randint(0, max(tw_ - w, 1)))
+        tex = bank[eidx, ey:ey + h, ex:ex + w].astype(np.float32)
+        want = np.clip(x * a + tex[None] * bb, 0, 255)
+        oute = np.asarray(C.corrupt(jnp.asarray(x), "frost", sev, key,
+                                    exact_render=True))
+        np.testing.assert_allclose(oute, want, atol=1e-3)
     finally:
         C.set_frost_texture_dir(None)
     # cache cleared: back to the procedural fallback (no env dir in tests)

@@ -195,9 +195,17 @@ def main():
                                     outdir, os.path.basename(fname)),
                                 cv2.cvtColor(im[:h, :w], cv2.COLOR_RGB2BGR),
                             )
-            print(f"=> size class ({bh}, {bw}) done ({len(items)} images)")
-        print(f"=> {len(compiled)} compiled programs so far "
-              f"(one per corruption x shape; 5 severities fused each)")
+            # a (name, shape) program is never reused after its bucket:
+            # drop it so exact_render constants (glass permutations, snow
+            # layers, elastic fields — MBs per shape) and the finished
+            # executables don't accumulate over COCO val's hundreds of
+            # exact-resolution shapes
+            n_dropped = 0
+            for sig in [s for s in compiled if s[1][1:3] == (bh, bw)]:
+                del compiled[sig]
+                n_dropped += 1
+            print(f"=> size class ({bh}, {bw}) done ({len(items)} images, "
+                  f"{n_dropped} programs released)")
 
     if args.bucket_all:
         run_group(names, args.bucket_quantum)

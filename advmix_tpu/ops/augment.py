@@ -238,15 +238,20 @@ def autoaugment(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     out = img
     for stage, coin in ((0, u1), (1, u2)):
         variants, pol_to_variant = _stage_variants(stage)
-        bank = jnp.stack(
-            [_apply_op(out, op, mag, sign, fast=True) for op, mag in variants]
-        )  # (V, B, H, W, 3)
         vidx = jnp.asarray(pol_to_variant)[pol_idx]  # (B,)
         apply_p = jnp.asarray(probs[:, stage])[pol_idx]  # (B,)
         vidx = jnp.where(coin < apply_p, vidx, 0)  # identity when coin fails
-        out = jnp.take_along_axis(
-            bank, vidx[None, :, None, None, None], axis=0
-        )[0]
+        # per-sample select as a where-chain (variant 0 = identity = `out`):
+        # XLA fuses the selects into the variant producers, where a stacked
+        # bank + take_along_axis materializes the (V, B, H, W, 3) bank and
+        # layout-copies it before the gather (~2 ms/step measured at
+        # batch 128 on v5e)
+        sel = out
+        for v, (op, mag) in enumerate(variants[1:], start=1):
+            cand = _apply_op(out, op, mag, sign, fast=True)
+            m = (vidx == v)[:, None, None, None]
+            sel = jnp.where(m, cand, sel)
+        out = sel
     return out
 
 

@@ -228,6 +228,12 @@ def get_default_config() -> ConfigNode:
     c.TEST.MASK_FILE = ""
     c.TEST.SOFT_ARGMAX = False
     c.TEST.BIAS = 0.0
+    # TPU-native extensions: W8A8 int8 eval/serving (ops/quant.py) —
+    # the MXU runs int8 at ~2x bf16; calibration uses the first N clean
+    # val batches. Requires MODEL.EXTRA.USE_SCAN off (calibration runs
+    # eagerly; scanned bodies trace).
+    c.TEST.INT8 = False
+    c.TEST.INT8_CALIB_BATCHES = 2
 
     c.DEBUG = ConfigNode()
     c.DEBUG.DEBUG = False

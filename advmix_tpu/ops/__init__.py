@@ -1,3 +1,3 @@
-from . import transforms, heatmap, losses
+from . import transforms, heatmap, losses, quant
 
-__all__ = ["transforms", "heatmap", "losses"]
+__all__ = ["transforms", "heatmap", "losses", "quant"]

@@ -1,0 +1,301 @@
+"""Post-training int8 quantization (W8A8) for the serving/eval path.
+
+Net-new beyond the reference (which serves torch fp32/fp16 weights,
+`tools/train.py:331-337`): TPU v5e's MXU runs int8 at ~2x the bf16 rate
+(measured 1.7x end-to-end on production conv shapes through this chip),
+so the inference forward can trade <1% heatmap error for a large
+throughput win with no model changes.
+
+Design (TPU-first):
+- Symmetric int8: per-OUTPUT-CHANNEL weight scales (max|w| / 127 over
+  HWI), per-TENSOR activation scales calibrated offline (abs-max or
+  percentile over calibration batches). Accumulation in int32 on the
+  MXU via `lax.conv_general_dilated(..., preferred_element_type=int32)`,
+  rescale to float once per conv.
+- Zero model changes: a flax method interceptor (`nn.intercept_methods`)
+  substitutes every `nn.Conv.__call__` with the quantized kernel at
+  trace time, keyed by the module's scope path. BN / ReLU / residual
+  adds stay in the model's compute dtype (they are VPU work and cheap).
+- Weights are quantized inside the traced function from the live f32
+  params (reading 1x weight bytes per forward -- negligible vs
+  activation traffic). This keeps one weight artifact on disk and works
+  for scanned (`nn.scan`) modules, whose per-iteration kernels only
+  exist inside the scan body.
+- `nn.ConvTranspose` (deconv heads) and any conv matched by `skip`
+  stay in the original dtype. The final 1x1 heatmap conv is skipped by
+  default ("final_layer*"): it sets prediction precision and costs
+  little.
+
+Caveats:
+- Calibration requires eager (non-jit) execution with concrete values;
+  scanned models trace their body, so calibrate with USE_SCAN=False
+  (checkpoints load into either naming).
+- On a scanned model the per-path activation scale is shared across
+  scan iterations (the body traces once). For maximum fidelity quantize
+  the unscanned construction; the difference is small on BN-normalized
+  trunks, where per-block input ranges are stable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+DEFAULT_SKIP = ("final_layer",)
+
+
+def _pair(v) -> tuple:
+    if isinstance(v, int):
+        return (v, v)
+    return tuple(v)
+
+
+def _path_of(module: nn.Module) -> str:
+    return "/".join(str(p) for p in module.scope.path)
+
+
+def _make_skip_fn(skip) -> Callable[[str], bool]:
+    if skip is None:
+        skip = DEFAULT_SKIP
+    if callable(skip):
+        return skip
+    subs = tuple(skip)
+    return lambda path: any(s in path for s in subs)
+
+
+def _supported(mod: nn.Conv) -> bool:
+    # int8 path covers the plain 2-D convs the pose models use; anything
+    # exotic falls back to the unquantized call.
+    if not type(mod) is nn.Conv:  # noqa: E721  (ConvTranspose subclasses differ)
+        return False
+    if isinstance(mod.padding, str) and mod.padding not in ("SAME", "VALID"):
+        return False
+    if getattr(mod, "mask", None) is not None:
+        return False
+    if _pair(getattr(mod, "input_dilation", 1) or 1) != (1, 1):
+        return False
+    return True
+
+
+def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8: w ~= wq * scale[None,None,None,:]."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return wq.astype(jnp.int8), scale
+
+
+def quantize_activation(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    xq = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+    return jnp.clip(xq, -127, 127).astype(jnp.int8)
+
+
+def _quantized_conv(mod: nn.Conv, x: jnp.ndarray, act_scale: float,
+                    w_scale=None):
+    w = mod.variables["params"]["kernel"]
+    bias = mod.variables["params"].get("bias")
+    if w.dtype == jnp.int8:
+        # pre-quantized checkpoint (prequantize_params): the kernel is
+        # already int8 and its per-channel scale is a baked-in constant
+        if w_scale is None:
+            raise ValueError(
+                "int8 kernel without a weight scale — pass the w_scales "
+                "mapping from prequantize_params to make_quantized_apply"
+            )
+        wq = w
+        w_scale = jnp.asarray(w_scale, jnp.float32)
+    else:
+        wq, w_scale = quantize_weight(w)
+    xq = quantize_activation(x, act_scale)
+    pad = mod.padding if isinstance(mod.padding, str) else tuple(
+        _pair(p) for p in mod.padding
+    )
+    out = lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=_pair(mod.strides or 1),
+        padding=pad,
+        rhs_dilation=_pair(getattr(mod, "kernel_dilation", 1) or 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=getattr(mod, "feature_group_count", 1),
+        preferred_element_type=jnp.int32,
+    )
+    out = out.astype(jnp.float32) * (w_scale * act_scale)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    dtype = mod.dtype or x.dtype
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+def calibrate_act_scales(
+    model: nn.Module,
+    variables: Mapping[str, Any],
+    batches: Iterable[jnp.ndarray],
+    method: str = "absmax",
+    percentile: float = 99.9,
+    skip=None,
+    apply_kwargs: Mapping[str, Any] | None = None,
+) -> dict[str, float]:
+    """Run calibration batches eagerly, recording per-conv input ranges.
+
+    Returns {module_path: activation_scale} where scale = range / 127.
+    `method`: "absmax" (max over all batches) or "percentile" (given
+    percentile of |x| pooled over batches -- clips outliers, usually
+    better for post-ReLU long tails).
+    """
+    skip_fn = _make_skip_fn(skip)
+    maxima: dict[str, float] = {}
+    samples: dict[str, list] = {}
+    kw = dict(apply_kwargs or {})
+    kw.setdefault("train", False)
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (
+            isinstance(mod, nn.Conv)
+            and context.method_name == "__call__"
+            and _supported(mod)
+        ):
+            path = _path_of(mod)
+            if not skip_fn(path):
+                x = args[0]
+                if isinstance(x, jax.core.Tracer):
+                    raise ValueError(
+                        "calibrate_act_scales needs eager execution with "
+                        "concrete values; got a tracer at "
+                        f"'{path}' (is the model scanned? construct it "
+                        "with USE_SCAN=False for calibration)"
+                    )
+                ax = np.abs(np.asarray(x, np.float32))
+                if method == "absmax":
+                    maxima[path] = max(maxima.get(path, 0.0), float(ax.max()))
+                else:
+                    # subsample to bound memory on big batches
+                    flat = ax.reshape(-1)
+                    if flat.size > 1 << 20:
+                        idx = np.random.RandomState(0).choice(
+                            flat.size, 1 << 20, replace=False
+                        )
+                        flat = flat[idx]
+                    samples.setdefault(path, []).append(flat)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        for batch in batches:
+            model.apply(variables, batch, **kw)
+
+    if method == "absmax":
+        ranges = maxima
+    else:
+        ranges = {
+            p: float(np.percentile(np.concatenate(v), percentile))
+            for p, v in samples.items()
+        }
+    return {p: max(r, 1e-12) / 127.0 for p, r in ranges.items()}
+
+
+# ---------------------------------------------------------------------------
+# Quantized apply
+# ---------------------------------------------------------------------------
+
+def make_quantized_apply(
+    model: nn.Module,
+    act_scales: Mapping[str, float],
+    skip=None,
+    fallback_scale: float | None = None,
+    w_scales: Mapping[str, Any] | None = None,
+) -> Callable:
+    """Drop-in `model.apply` replacement running int8 convs.
+
+    Convs whose path has no calibrated scale use `fallback_scale` if
+    given, else stay unquantized. Works under jit / jax.export (the
+    interceptor rewrites the graph at trace time). With `w_scales`
+    (from `prequantize_params`), kernels in the variables tree are
+    already int8 and the per-channel scales are baked-in constants.
+    """
+    skip_fn = _make_skip_fn(skip)
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (
+            isinstance(mod, nn.Conv)
+            and context.method_name == "__call__"
+            and _supported(mod)
+        ):
+            path = _path_of(mod)
+            if not skip_fn(path):
+                scale = act_scales.get(path, fallback_scale)
+                if scale is not None:
+                    ws = w_scales.get(path) if w_scales else None
+                    return _quantized_conv(mod, args[0], float(scale), ws)
+        return next_fun(*args, **kwargs)
+
+    def apply_fn(variables, *args, **kwargs):
+        with nn.intercept_methods(interceptor):
+            return model.apply(variables, *args, **kwargs)
+
+    return apply_fn
+
+
+def quantized_model_view(model: nn.Module, act_scales, skip=None,
+                         fallback_scale=None, w_scales=None):
+    """An object exposing `.apply` like a flax module, for call sites
+    (eval steps, export) that take a model and only use `.apply`."""
+
+    class _View:
+        def __init__(self):
+            self.apply = make_quantized_apply(
+                model, act_scales, skip=skip, fallback_scale=fallback_scale,
+                w_scales=w_scales,
+            )
+
+        def __getattr__(self, name):
+            return getattr(model, name)
+
+    return _View()
+
+
+def prequantize_params(
+    params: Mapping[str, Any],
+    act_scales: Mapping[str, float],
+    skip=None,
+) -> tuple[dict, dict[str, np.ndarray]]:
+    """Quantize conv kernels IN the params tree to int8 (4x smaller
+    serving weights; no per-call weight quantization work).
+
+    Quantizes exactly the convs `make_quantized_apply` would quantize:
+    every path with a calibrated activation scale that isn't skipped.
+    Returns (new_params, {path: per-channel weight scale}); pass both to
+    `make_quantized_apply(..., w_scales=...)` — the scales become
+    baked-in constants of the traced/exported module.
+
+    NOTE an int8 tree no longer loads into the regular f32 model; keep
+    it as a serving artifact next to the exported StableHLO module.
+    """
+    skip_fn = _make_skip_fn(skip)
+    new_params = jax.tree.map(lambda a: a, dict(params))  # shallow-ish copy
+    w_scales: dict[str, np.ndarray] = {}
+    for path in act_scales:
+        if skip_fn(path):
+            continue
+        node = new_params
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node[k]
+        leaf = node[keys[-1]]
+        if "kernel" not in leaf:
+            continue
+        wq, scale = quantize_weight(leaf["kernel"])
+        leaf["kernel"] = wq
+        w_scales[path] = np.asarray(scale)
+    return new_params, w_scales

@@ -1,0 +1,220 @@
+"""int8 post-training quantization (ops/quant.py).
+
+Net-new beyond the reference (fp32 serving only): W8A8 conv inference
+with per-channel weight scales and calibrated per-tensor activation
+scales, swapped in via a flax method interceptor (no model changes).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from advmix_tpu.ops import quant
+from advmix_tpu.models.pose_resnet import PoseResNet
+
+
+class _TinyNet(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(x)
+        x = nn.relu(x)
+        x = nn.Conv(16, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                    name="mid")(x)
+        x = nn.relu(x)
+        x = nn.Conv(4, (1, 1), use_bias=True, name="final_layer")(x)
+        return x
+
+
+def _tiny():
+    m = _TinyNet()
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(-2, 2, (2, 16, 12, 3)).astype(np.float32)
+    )
+    vs = m.init(jax.random.PRNGKey(0), x)
+    return m, vs, x
+
+
+def test_quantize_weight_roundtrip():
+    w = jnp.asarray(
+        np.random.RandomState(1).normal(0, 0.3, (3, 3, 8, 16)).astype(np.float32)
+    )
+    wq, scale = quant.quantize_weight(w)
+    assert wq.dtype == jnp.int8 and scale.shape == (16,)
+    deq = wq.astype(jnp.float32) * scale
+    # symmetric round-to-nearest: error <= scale/2 per element
+    err = np.abs(np.asarray(deq - w))
+    assert (err <= np.asarray(scale) * 0.5 + 1e-7).all()
+
+
+def test_quantized_tiny_model_close_and_jit_consistent():
+    m, vs, x = _tiny()
+    ref = m.apply(vs, x)
+    scales = quant.calibrate_act_scales(m, vs, [x], apply_kwargs={})
+    assert set(scales) == {"stem", "mid"}  # final_layer skipped by default
+    qapply = quant.make_quantized_apply(m, scales)
+    out = qapply(vs, x)
+    rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.03, rel
+    out_j = jax.jit(qapply)(vs, x)
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(out), atol=1e-5)
+
+
+def test_skip_everything_is_exact():
+    m, vs, x = _tiny()
+    ref = m.apply(vs, x)
+    qapply = quant.make_quantized_apply(m, {}, skip=lambda p: True)
+    np.testing.assert_array_equal(np.asarray(qapply(vs, x)), np.asarray(ref))
+
+
+def test_calibration_aggregates_and_percentile():
+    m, vs, _ = _tiny()
+    rng = np.random.RandomState(2)
+    b1 = jnp.asarray(rng.uniform(-1, 1, (2, 16, 12, 3)).astype(np.float32))
+    b2 = jnp.asarray(rng.uniform(-4, 4, (2, 16, 12, 3)).astype(np.float32))
+    s1 = quant.calibrate_act_scales(m, vs, [b1], apply_kwargs={})
+    s12 = quant.calibrate_act_scales(m, vs, [b1, b2], apply_kwargs={})
+    assert s12["stem"] > s1["stem"]  # wider batch widened the range
+    sp = quant.calibrate_act_scales(
+        m, vs, [b1, b2], method="percentile", percentile=99.0, apply_kwargs={}
+    )
+    # a percentile clips the tail, so its scale is <= absmax's
+    assert sp["stem"] <= s12["stem"] + 1e-9
+
+
+def test_scanned_model_calibration_raises():
+    # resnet-34: layers have >2 blocks, so use_scan actually scans
+    model = PoseResNet(num_layers=34, num_joints=5, use_scan=True)
+    x = jnp.zeros((1, 64, 48, 3))
+    vs = model.init(jax.random.PRNGKey(0), x, train=False)
+    with pytest.raises(ValueError, match="USE_SCAN"):
+        quant.calibrate_act_scales(model, vs, [x])
+
+
+def test_quantized_pose_resnet18():
+    model = PoseResNet(num_layers=18, num_joints=5)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(-2, 2, (2, 64, 48, 3)).astype(np.float32))
+    vs = model.init(jax.random.PRNGKey(0), x, train=False)
+    # randomize running stats so eval-mode BN is non-trivial
+    vs = jax.tree.map(lambda a: a, dict(vs))
+    ref = model.apply(vs, x, train=False)
+    scales = quant.calibrate_act_scales(model, vs, [x])
+    assert len(scales) > 10
+    qapply = quant.make_quantized_apply(model, scales)
+    out = qapply(vs, x, train=False)
+    denom = float(jnp.max(jnp.abs(ref)))
+    rel = float(jnp.max(jnp.abs(out - ref))) / denom
+    assert rel < 0.08, rel
+    # the bulk of the map should be much closer than the worst pixel
+    mean_rel = float(jnp.mean(jnp.abs(out - ref))) / denom
+    assert mean_rel < 0.01, mean_rel
+
+
+def test_quantized_view_exports_and_roundtrips():
+    from jax import export as jexport
+
+    m, vs, x = _tiny()
+    scales = quant.calibrate_act_scales(m, vs, [x], apply_kwargs={})
+    view = quant.quantized_model_view(m, scales)
+
+    def fn(params, image):
+        return view.apply({"params": params}, image)
+
+    exported = jexport.export(jax.jit(fn))(
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                     vs["params"]),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )
+    rt = jexport.deserialize(bytearray(exported.serialize()))
+    out = rt.call(vs["params"], x)
+    direct = fn(vs["params"], x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
+
+
+def test_quantized_eval_step_on_mesh():
+    """The quantized view drops into make_eval_step unchanged: the
+    interceptor rewrites convs inside the shard_map-jitted program on
+    the 8-device mesh, and predictions stay close to the f32 step's."""
+    from advmix_tpu.config import load_config
+    from advmix_tpu.engine import steps
+    from advmix_tpu.ops.heatmap import generate_target
+    from advmix_tpu.parallel import get_mesh, device_put_batch
+    from advmix_tpu.parallel.mesh import replicate
+
+    B, J = 16, 4
+    cfg = load_config()
+    cfg.defrost()
+    cfg.MODEL.NUM_JOINTS = J
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.TEST.FLIP_TEST = True
+    cfg.TEST.POST_PROCESS = True
+    cfg.freeze()
+    mesh = get_mesh(8)
+    model = PoseResNet(num_layers=18, num_joints=J,
+                       num_deconv_filters=(64, 64, 64))
+    rng = np.random.RandomState(5)
+    img = rng.randn(B, 64, 64, 3).astype(np.float32)
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3)),
+                    train=False)
+    scales = quant.calibrate_act_scales(model, vs, [jnp.asarray(img)])
+    view = quant.quantized_model_view(model, scales)
+
+    joints = rng.uniform(5, 59, (B, J, 2)).astype(np.float32)
+    vis = np.ones((B, J), np.float32)
+    tgt, _, w = generate_target(jnp.asarray(joints), jnp.asarray(vis),
+                                (64, 64), (16, 16), 2)
+    batch = device_put_batch(
+        {"image": jnp.asarray(img), "target": tgt, "target_weight": w,
+         "center": jnp.asarray(rng.uniform(100, 200, (B, 2)).astype(np.float32)),
+         "scale": jnp.asarray(rng.uniform(0.8, 1.5, (B, 2)).astype(np.float32))},
+        mesh,
+    )
+    params = replicate(vs["params"], mesh)
+    stats = replicate(vs.get("batch_stats", {}), mesh)
+
+    f32_step = steps.make_eval_step(model, cfg, [[0, 1]], mesh)
+    q_step = steps.make_eval_step(view, cfg, [[0, 1]], mesh)
+    preds_f, maxv_f, _ = f32_step(params, stats, batch)
+    preds_q, maxv_q, _ = q_step(params, stats, batch)
+    assert preds_q.shape == (B, J, 2)
+    # heatmap peaks of a random-init net are diffuse; demand score
+    # agreement and that most decoded peaks coincide
+    np.testing.assert_allclose(np.asarray(maxv_q), np.asarray(maxv_f),
+                               atol=0.05)
+    close = np.linalg.norm(
+        np.asarray(preds_q) - np.asarray(preds_f), axis=-1) < 2.0
+    assert close.mean() > 0.75, close.mean()
+
+
+def test_prequantized_params_match_onthefly():
+    """prequantize_params + w_scales reproduces the on-the-fly quantized
+    forward bit-for-bit (same wq, same scales), with int8 kernels in the
+    tree (4x smaller serving weights)."""
+    m, vs, x = _tiny()
+    scales = quant.calibrate_act_scales(m, vs, [x], apply_kwargs={})
+    ref = quant.make_quantized_apply(m, scales)(vs, x)
+
+    qparams, w_scales = quant.prequantize_params(vs["params"], scales)
+    assert set(w_scales) == {"stem", "mid"}
+    assert qparams["stem"]["kernel"].dtype == jnp.int8
+    assert qparams["final_layer"]["kernel"].dtype == jnp.float32  # skipped
+    # original tree untouched
+    assert vs["params"]["stem"]["kernel"].dtype == jnp.float32
+
+    qapply = quant.make_quantized_apply(m, scales, w_scales=w_scales)
+    out = qapply({"params": qparams}, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_int8_kernel_without_scale_raises():
+    m, vs, x = _tiny()
+    scales = quant.calibrate_act_scales(m, vs, [x], apply_kwargs={})
+    qparams, _ = quant.prequantize_params(vs["params"], scales)
+    qapply = quant.make_quantized_apply(m, scales)  # no w_scales
+    with pytest.raises(ValueError, match="weight scale"):
+        qapply({"params": qparams}, x)

@@ -257,3 +257,68 @@ def test_demo_summary_reads_write_final_csv_columns(tmp_path):
         assert got_clean == clean
         np.testing.assert_allclose(got_mpc, want_mpc, atol=5e-4)
         assert got_rpc > 0 and abs(got_rpc - got_mpc / clean) < 2e-3
+
+
+@pytest.mark.slow
+def test_export_cli_int8(tmp_path):
+    """tools/export.py --int8: W8A8 export with dataset-batch calibration;
+    the quantized StableHLO module round-trips without model code."""
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    out = tmp_path / "export_i8"
+    r = subprocess.run(
+        [sys.executable, "tools/export.py",
+         "--cfg", "experiments/synthetic/res18_64x64_smoke.yaml",
+         "--int8", "--batch", "4", "--out", str(out),
+         "OUTPUT_DIR", str(tmp_path / "o"), "LOG_DIR", str(tmp_path / "l")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    log = r.stdout + r.stderr
+    assert "int8:" in log and "convs calibrated" in log
+
+    import jax.numpy as jnp
+    from jax import export as jexport
+    import orbax.checkpoint as ocp
+
+    blob = (out / "pose_infer.stablehlo").read_bytes()
+    fn = jexport.deserialize(bytearray(blob))
+    variables = ocp.PyTreeCheckpointer().restore(str(out / "final_state"))
+    res = fn.call(variables["params"], variables.get("batch_stats", {}),
+                  jnp.zeros((4, 64, 64, 3), jnp.float32))
+    arr = np.asarray(res)
+    assert arr.shape == (4, 8, 3) and np.isfinite(arr).all()
+    # the module's convs really are int8
+    assert "i8" in fn.mlir_module()
+
+
+@pytest.mark.slow
+def test_int8_corruption_sweep_cli(tmp_path):
+    """TEST.INT8 drives the whole on-the-fly sweep through int8 convs."""
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    out_dir = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "tools/test_corruption.py",
+         "--cfg", "experiments/synthetic/res18_64x64_smoke.yaml",
+         "--exp_id", "int8_smoke",
+         "--num_devices", "2",
+         "--on_the_fly", "--distortions", "brightness",
+         "OUTPUT_DIR", out_dir, "LOG_DIR", str(tmp_path / "log"),
+         "TEST.INT8", "True", "TEST.INT8_CALIB_BATCHES", "1",
+         "TEST.BATCH_SIZE_PER_GPU", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert "int8 eval:" in (r.stdout + r.stderr)
+    csvs = []
+    for root, _, fs in os.walk(out_dir + "_robustness"):
+        csvs += [os.path.join(root, f) for f in fs if f.endswith(".csv")]
+    assert csvs, "int8 sweep produced no csv"

@@ -156,8 +156,9 @@ def calibrate_act_scales(
     skip_fn = _make_skip_fn(skip)
     maxima: dict[str, float] = {}
     samples: dict[str, list] = {}
-    kw = dict(apply_kwargs or {})
-    kw.setdefault("train", False)
+    # None -> the pose-model default (eval mode); pass {} explicitly for
+    # models whose __call__ takes no train kwarg
+    kw = {"train": False} if apply_kwargs is None else dict(apply_kwargs)
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module

@@ -218,3 +218,32 @@ def test_int8_kernel_without_scale_raises():
     qapply = quant.make_quantized_apply(m, scales)  # no w_scales
     with pytest.raises(ValueError, match="weight scale"):
         qapply({"params": qparams}, x)
+
+
+def test_polymorphic_int8_export_no_train_kwarg():
+    """Batch-polymorphic int8 export, on a model whose __call__ takes no
+    `train` kwarg (apply_kwargs={} must not inject one — regression)."""
+    from jax import export as jexport
+
+    class Plain(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)), name="c1")(x)
+            return nn.Conv(4, (1, 1), name="final_layer")(x)
+
+    m = Plain()
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 16, 12, 3).astype(np.float32))
+    vs = m.init(jax.random.PRNGKey(0), x)
+    scales = quant.calibrate_act_scales(m, vs, [x], apply_kwargs={})
+    qp, ws = quant.prequantize_params(vs["params"], scales)
+    view = quant.quantized_model_view(m, scales, w_scales=ws)
+    (b,) = jexport.symbolic_shape("b")
+    e = jexport.export(
+        jax.jit(lambda p, img: view.apply({"params": p}, img)))(
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), qp),
+        jax.ShapeDtypeStruct((b, 16, 12, 3), jnp.float32))
+    rt = jexport.deserialize(bytearray(e.serialize()))
+    for n in (3, 7):
+        out = rt.call(qp, jnp.zeros((n, 16, 12, 3), jnp.float32))
+        assert np.asarray(out).shape == (n, 16, 12, 4)

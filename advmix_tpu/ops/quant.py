@@ -38,7 +38,7 @@ Caveats:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Mapping, Sequence
+from typing import Any, Callable, Iterable, Mapping
 
 import numpy as np
 
@@ -54,6 +54,19 @@ def _pair(v) -> tuple:
     if isinstance(v, int):
         return (v, v)
     return tuple(v)
+
+
+def _canon_padding(padding):
+    """flax padding shorthand -> lax explicit form (str | int | pair-of-
+    ints | pairs). Returns None when unrecognized (caller falls back)."""
+    if isinstance(padding, str):
+        return padding if padding in ("SAME", "VALID") else None
+    if isinstance(padding, int):
+        return ((padding, padding),) * 2
+    try:
+        return tuple(_pair(p) for p in padding)
+    except TypeError:
+        return None
 
 
 def _path_of(module: nn.Module) -> str:
@@ -74,7 +87,9 @@ def _supported(mod: nn.Conv) -> bool:
     # exotic falls back to the unquantized call.
     if not type(mod) is nn.Conv:  # noqa: E721  (ConvTranspose subclasses differ)
         return False
-    if isinstance(mod.padding, str) and mod.padding not in ("SAME", "VALID"):
+    if len(tuple(mod.kernel_size)) != 2:  # 1-D/3-D convs: fall back
+        return False
+    if _canon_padding(mod.padding) is None:
         return False
     if getattr(mod, "mask", None) is not None:
         return False
@@ -113,9 +128,7 @@ def _quantized_conv(mod: nn.Conv, x: jnp.ndarray, act_scale: float,
     else:
         wq, w_scale = quantize_weight(w)
     xq = quantize_activation(x, act_scale)
-    pad = mod.padding if isinstance(mod.padding, str) else tuple(
-        _pair(p) for p in mod.padding
-    )
+    pad = _canon_padding(mod.padding)
     out = lax.conv_general_dilated(
         xq,
         wq,
@@ -153,6 +166,8 @@ def calibrate_act_scales(
     percentile of |x| pooled over batches -- clips outliers, usually
     better for post-ReLU long tails).
     """
+    if method not in ("absmax", "percentile"):
+        raise ValueError(f"method must be 'absmax' or 'percentile': {method}")
     skip_fn = _make_skip_fn(skip)
     maxima: dict[str, float] = {}
     samples: dict[str, list] = {}
@@ -181,13 +196,12 @@ def calibrate_act_scales(
                 if method == "absmax":
                     maxima[path] = max(maxima.get(path, 0.0), float(ax.max()))
                 else:
-                    # subsample to bound memory on big batches
+                    # subsample to bound memory on big batches (strided:
+                    # O(kept), unlike choice(replace=False) whose internal
+                    # permutation is O(n) int64)
                     flat = ax.reshape(-1)
                     if flat.size > 1 << 20:
-                        idx = np.random.RandomState(0).choice(
-                            flat.size, 1 << 20, replace=False
-                        )
-                        flat = flat[idx]
+                        flat = flat[:: (flat.size >> 20) or 1]
                     samples.setdefault(path, []).append(flat)
         return next_fun(*args, **kwargs)
 
@@ -203,6 +217,37 @@ def calibrate_act_scales(
             for p, v in samples.items()
         }
     return {p: max(r, 1e-12) / 127.0 for p, r in ranges.items()}
+
+
+def calibrate_from_loader(
+    model: nn.Module,
+    variables: Mapping[str, Any],
+    loader: Iterable[Mapping[str, Any]],
+    n_batches: int,
+    use_scan: bool = False,
+    **calib_kwargs,
+) -> dict[str, float]:
+    """Shared CLI calibration path (tools/export.py --int8,
+    tools/test_corruption.py TEST.INT8): rejects scanned models up front,
+    pulls `n_batches` host batches from `loader` ("image" key, uint8),
+    applies the ImageNet normalization the eval preps use, and returns
+    the activation scales."""
+    from .augment import IMAGENET_MEAN_STD
+
+    if use_scan:
+        raise ValueError(
+            "int8 needs MODEL.EXTRA.USE_SCAN: false — calibration runs "
+            "eagerly and scanned bodies trace (ops/quant.py)"
+        )
+    mean, std = IMAGENET_MEAN_STD
+    calib = []
+    for i, b in enumerate(loader):
+        if i >= int(n_batches):
+            break
+        calib.append((jnp.asarray(b["image"], jnp.float32) - mean) / std)
+    if not calib:
+        raise ValueError("int8 calibration: no batches available")
+    return calibrate_act_scales(model, variables, calib, **calib_kwargs)
 
 
 # ---------------------------------------------------------------------------

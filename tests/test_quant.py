@@ -99,8 +99,18 @@ def test_quantized_pose_resnet18():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.uniform(-2, 2, (2, 64, 48, 3)).astype(np.float32))
     vs = model.init(jax.random.PRNGKey(0), x, train=False)
-    # randomize running stats so eval-mode BN is non-trivial
-    vs = jax.tree.map(lambda a: a, dict(vs))
+    # randomize running stats so eval-mode BN is non-trivial (means near
+    # 0, vars near 1 — large mean shifts would saturate every ReLU and
+    # zero the whole output)
+    stats_rng = np.random.RandomState(11)
+    vs = dict(vs)
+    vs["batch_stats"] = jax.tree_util.tree_map_with_path(
+        lambda path, a: jnp.asarray(
+            (stats_rng.randn(*a.shape) * 0.1
+             if path[-1].key == "mean"
+             else stats_rng.uniform(0.5, 1.5, a.shape)).astype(np.float32)),
+        vs["batch_stats"],
+    )
     ref = model.apply(vs, x, train=False)
     scales = quant.calibrate_act_scales(model, vs, [x])
     assert len(scales) > 10

@@ -115,11 +115,14 @@ def main(argv=None):
     else:
         logger.warning("=> no TEST.MODEL_FILE; exporting random init")
 
-    # flip pairs come from the dataset family
+    # flip pairs come from the dataset family; the dataset is reused for
+    # int8 calibration below (COCO annotation parsing is expensive)
     from advmix_tpu.data import build_dataset
 
+    ds = None
     try:
-        flip_pairs = build_dataset(cfg, is_train=False).flip_pairs
+        ds = build_dataset(cfg, is_train=False)
+        flip_pairs = ds.flip_pairs
     except Exception:
         flip_pairs = []
         logger.warning("=> dataset unavailable; exporting without flip pairs")
@@ -131,6 +134,7 @@ def main(argv=None):
         # int8 rate (measured ~1.7x bf16 end-to-end on v5e shapes).
         from advmix_tpu.ops.quant import (
             calibrate_act_scales,
+            calibrate_from_loader,
             quantized_model_view,
         )
 
@@ -142,31 +146,23 @@ def main(argv=None):
         if extra_args.calib:
             arr = np.load(extra_args.calib).astype(np.float32)
             calib = [jnp.asarray(arr[i : i + 16]) for i in range(0, len(arr), 16)]
-        else:
-            calib = []
-            try:
-                from advmix_tpu.data import Loader
-                from advmix_tpu.ops.augment import IMAGENET_MEAN_STD
+            act_scales = calibrate_act_scales(model, variables, calib)
+        elif ds is not None:
+            from advmix_tpu.data import Loader
 
-                mean, std = IMAGENET_MEAN_STD
-                ds = build_dataset(cfg, is_train=False)
-                for i, bt in enumerate(Loader(ds, 16, shuffle=False)):
-                    if i >= 2:
-                        break
-                    calib.append(
-                        (jnp.asarray(bt["image"], jnp.float32) - mean) / std
-                    )
-            except Exception:
-                pass
-            if not calib:
-                logger.warning(
-                    "=> --int8: no dataset/--calib; calibrating on "
-                    "standard-normal synthetic images (ranges may be loose)"
-                )
-                rng = np.random.RandomState(0)
-                calib = [jnp.asarray(
-                    rng.randn(16, h, w, 3).astype(np.float32))]
-        act_scales = calibrate_act_scales(model, variables, calib)
+            act_scales = calibrate_from_loader(
+                model, variables, Loader(ds, 16, shuffle=False), 2,
+            )
+        else:
+            logger.warning(
+                "=> --int8: no dataset/--calib; calibrating on "
+                "standard-normal synthetic images (ranges may be loose)"
+            )
+            rng = np.random.RandomState(0)
+            act_scales = calibrate_act_scales(
+                model, variables,
+                [jnp.asarray(rng.randn(16, h, w, 3).astype(np.float32))],
+            )
         # pre-quantize kernels IN the weight artifact (4x smaller; the
         # per-channel scales become constants of the exported module)
         from advmix_tpu.ops.quant import prequantize_params
@@ -178,8 +174,8 @@ def main(argv=None):
         variables["params"] = qparams
         model = quantized_model_view(model, act_scales, w_scales=w_scales)
         logger.info(
-            f"=> int8: {len(act_scales)} convs calibrated on "
-            f"{len(calib)} batch(es); {len(w_scales)} kernels stored int8 "
+            f"=> int8: {len(act_scales)} convs calibrated; "
+            f"{len(w_scales)} kernels stored int8 "
             "(NOTE: this final_state is a serving artifact — it does not "
             "load into the f32 model)"
         )

@@ -135,36 +135,24 @@ def main(argv=None):
         # per-conv activation scales on the first clean val batches, then
         # swap every conv in the eval program for the int8 MXU kernel.
         from advmix_tpu.ops.quant import (
-            calibrate_act_scales,
+            calibrate_from_loader,
             quantized_model_view,
         )
 
-        if dict(cfg.MODEL.EXTRA).get("USE_SCAN", False):
-            raise ValueError(
-                "TEST.INT8 needs MODEL.EXTRA.USE_SCAN: false — calibration "
-                "runs eagerly and scanned bodies trace (ops/quant.py)"
-            )
-        calib_loader = Loader(
-            _first_ds, cfg.TEST.BATCH_SIZE_PER_GPU, shuffle=False
-        )
-        calib = []
-        for i, b in enumerate(calib_loader):
-            if i >= int(cfg.TEST.INT8_CALIB_BATCHES):
-                break
-            calib.append((jnp.asarray(b["image"], jnp.float32) - mean) / std)
-        if not calib:
-            raise ValueError("TEST.INT8: no calibration batches available")
-        act_scales = calibrate_act_scales(
+        act_scales = calibrate_from_loader(
             model,
             {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", {})},
-            calib,
+            Loader(_first_ds, cfg.TEST.BATCH_SIZE_PER_GPU, shuffle=False),
+            cfg.TEST.INT8_CALIB_BATCHES,
+            use_scan=dict(cfg.MODEL.EXTRA).get("USE_SCAN", False),
         )
         model = quantized_model_view(model, act_scales)
         logger.info(
             f"=> int8 eval: {len(act_scales)} convs calibrated on "
-            f"{len(calib)} batch(es)"
+            f"{int(cfg.TEST.INT8_CALIB_BATCHES)} batch(es)"
         )
+
     if bottomup:
         eval_step = steps.make_bottomup_eval_step(
             model, cfg, _first_ds.flip_pairs, mesh

@@ -40,7 +40,10 @@ driver's definition regardless.
 Env knobs: BENCH_BATCH (per-chip batch, default 128; measured 188, 275, 417 img/s at 32, 64, 128), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 20),
 BENCH_LOADER=1 (also run the real host Loader on synthetic JPEGs,
-tools/loader_bench.py, and report host img/s next to device img/s).
+tools/loader_bench.py, and report host img/s next to device img/s),
+BENCH_CFG=<yaml> (measure a different model config on the same fused
+AdvMix workload — e.g. experiments/coco/hrnet/w48_256x192_advmix.yaml;
+default stays the W32 headline so driver runs are comparable).
 """
 
 import json
@@ -90,7 +93,20 @@ def main():
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
 
-    cfg = _w32_cfg((192, 256), (48, 64))
+    cfg_path = os.environ.get("BENCH_CFG")
+    if cfg_path:
+        from advmix_tpu.config import get_default_config
+
+        cfg = get_default_config()
+        cfg.merge_from_file(cfg_path)
+        cfg.freeze()
+        model_label = os.path.splitext(os.path.basename(cfg_path))[0]
+    else:
+        cfg = _w32_cfg((192, 256), (48, 64))
+        model_label = "HRNet-W32 256x192"
+    img_w, img_h = cfg.MODEL.IMAGE_SIZE
+    hm_w, hm_h = cfg.MODEL.HEATMAP_SIZE
+    n_joints = cfg.MODEL.NUM_JOINTS
     mesh = get_mesh()
 
     model_d = models.get_pose_net(cfg, dtype=dtype)
@@ -99,19 +115,21 @@ def main():
     tx_g = optim.get_generator_optimizer(cfg)
     st = state_lib.create_advmix_state(
         model_d, model_g, tx_d, tx_g, jax.random.PRNGKey(0),
-        jnp.zeros((2, 256, 192, 3)),
+        jnp.zeros((2, img_h, img_w, 3)),
     )
     st = replicate(st, mesh)
 
     rng = np.random.RandomState(0)
     clean = jnp.asarray(
-        rng.randint(0, 256, (batch_size, 256, 192, 3)).astype(np.float32)
+        rng.randint(0, 256, (batch_size, img_h, img_w, 3)).astype(np.float32)
     )
     joints = jnp.asarray(
-        rng.uniform(0, 190, (batch_size, 17, 2)).astype(np.float32)
+        rng.uniform(0, min(img_w, img_h) - 2,
+                    (batch_size, n_joints, 2)).astype(np.float32)
     )
-    vis = jnp.ones((batch_size, 17), jnp.float32)
-    target, _, tw = generate_target(joints, vis, (192, 256), (48, 64), 2)
+    vis = jnp.ones((batch_size, n_joints), jnp.float32)
+    target, _, tw = generate_target(joints, vis, (img_w, img_h),
+                                    (hm_w, hm_h), float(cfg.MODEL.SIGMA))
 
     raw = device_put_batch(
         {"clean": clean, "target": target, "target_weight": tw}, mesh
@@ -185,7 +203,7 @@ def main():
     baseline = A100_BASELINE_IMG_S * TARGET_MULTIPLE
     out = {
         "metric": (
-            "AdvMix HRNet-W32 256x192 fused train step throughput "
+            f"AdvMix {model_label} fused train step throughput "
             f"(batch {per_chip}/chip, {dtype_name}, {n_dev} chip(s))"
         ),
         "value": round(img_s_chip, 2),

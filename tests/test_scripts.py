@@ -322,3 +322,55 @@ def test_int8_corruption_sweep_cli(tmp_path):
     for root, _, fs in os.walk(out_dir + "_robustness"):
         csvs += [os.path.join(root, f) for f in fs if f.endswith(".csv")]
     assert csvs, "int8 sweep produced no csv"
+
+
+@pytest.mark.slow
+def test_bench_cfg_knob(tmp_path):
+    """bench.py honors BENCH_CFG (model swapped by YAML) and still prints
+    the driver's one-JSON-line contract."""
+    import json as jsonlib
+
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+        BENCH_CFG="experiments/synthetic/res18_64x64_smoke.yaml",
+        BENCH_BATCH="4", BENCH_STEPS="2", BENCH_WINDOWS="1",
+    )
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    out = jsonlib.loads(line)
+    assert out["unit"] == "img/s/chip" and out["value"] > 0
+    assert "vs_baseline" in out
+    assert "res18_64x64_smoke" in out["metric"]
+
+
+@pytest.mark.slow
+def test_serving_bench_cli(tmp_path):
+    """tools/serving_bench.py runs all three arms on a tiny config and
+    prints the one-JSON-line contract."""
+    import json as jsonlib
+
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    for arm in ("bf16", "int8pre"):
+        r = subprocess.run(
+            [sys.executable, "tools/serving_bench.py",
+             "--cfg", "experiments/synthetic/res18_64x64_smoke.yaml",
+             "--arm", arm, "--batch", "4", "--steps", "2",
+             "--num_devices", "2",
+             "OUTPUT_DIR", str(tmp_path / "o"), "LOG_DIR", str(tmp_path / "l")],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, arm + ": " + r.stdout[-2000:] + r.stderr[-2000:]
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+        out = jsonlib.loads(line)
+        assert out["unit"] == "img/s" and out["value"] > 0
+        assert arm in out["metric"]

@@ -476,7 +476,9 @@ def make_bottomup_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=0)
+    fn = jax.jit(sharded, donate_argnums=0)
+    fn.sharded = sharded  # see make_advmix_step: fused-prep callers
+    return fn
 
 
 def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
@@ -649,4 +651,6 @@ def make_bottomup_advmix_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=0)
+    fn = jax.jit(sharded, donate_argnums=0)
+    fn.sharded = sharded  # see make_advmix_step: fused-prep callers
+    return fn

@@ -42,8 +42,11 @@ Env knobs: BENCH_BATCH (per-chip batch, default 128; measured 188, 275, 417 img/
 BENCH_LOADER=1 (also run the real host Loader on synthetic JPEGs,
 tools/loader_bench.py, and report host img/s next to device img/s),
 BENCH_CFG=<yaml> (measure a different model config on the same fused
-AdvMix workload — e.g. experiments/coco/hrnet/w48_256x192_advmix.yaml;
-default stays the W32 headline so driver runs are comparable).
+AdvMix workload — e.g. experiments/coco/hrnet/w48_256x192_advmix.yaml,
+or the bottom-up experiments/coco/higher_hrnet/w32_512_advmix.yaml which
+dispatches make_bottomup_advmix_step; default stays the W32 headline so
+driver runs are comparable), BENCH_OPTS="KEY VALUE ..." (config
+overrides on top of BENCH_CFG, e.g. shrunken stages for CPU smokes).
 """
 
 import json
@@ -99,6 +102,11 @@ def main():
 
         cfg = get_default_config()
         cfg.merge_from_file(cfg_path)
+        if os.environ.get("BENCH_OPTS"):
+            # "KEY VALUE KEY VALUE ..." config overrides (CPU smokes)
+            import shlex
+
+            cfg.merge_from_list(shlex.split(os.environ["BENCH_OPTS"]))
         cfg.freeze()
         model_label = os.path.splitext(os.path.basename(cfg_path))[0]
     else:
@@ -119,26 +127,43 @@ def main():
     )
     st = replicate(st, mesh)
 
+    bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
     rng = np.random.RandomState(0)
     clean = jnp.asarray(
         rng.randint(0, 256, (batch_size, img_h, img_w, 3)).astype(np.float32)
     )
-    joints = jnp.asarray(
-        rng.uniform(0, min(img_w, img_h) - 2,
-                    (batch_size, n_joints, 2)).astype(np.float32)
-    )
-    vis = jnp.ones((batch_size, n_joints), jnp.float32)
-    target, _, tw = generate_target(joints, vis, (img_w, img_h),
-                                    (hm_w, hm_h), float(cfg.MODEL.SIGMA))
-
-    raw = device_put_batch(
-        {"clean": clean, "target": target, "target_weight": tw}, mesh
-    )
-
-    adv_step = steps.make_advmix_step(
-        model_d, model_g, tx_d, tx_g, cfg, mesh,
-        alpha=0.1, adv_loss_weight=1.0,
-    )
+    if bottomup:
+        # multi-person joints in input coords (targets are generated
+        # inside the step at every output scale)
+        max_people = 10
+        joints = jnp.asarray(
+            rng.uniform(0, min(img_w, img_h) - 2,
+                        (batch_size, max_people, n_joints, 2))
+            .astype(np.float32)
+        )
+        vis = jnp.ones((batch_size, max_people, n_joints), jnp.float32)
+        raw = device_put_batch(
+            {"clean": clean, "joints": joints, "joints_vis": vis}, mesh
+        )
+        adv_step = steps.make_bottomup_advmix_step(
+            model_d, model_g, tx_d, tx_g, cfg, mesh,
+            alpha=0.1, adv_loss_weight=1.0,
+        )
+    else:
+        joints = jnp.asarray(
+            rng.uniform(0, min(img_w, img_h) - 2,
+                        (batch_size, n_joints, 2)).astype(np.float32)
+        )
+        vis = jnp.ones((batch_size, n_joints), jnp.float32)
+        target, _, tw = generate_target(joints, vis, (img_w, img_h),
+                                        (hm_w, hm_h), float(cfg.MODEL.SIGMA))
+        raw = device_put_batch(
+            {"clean": clean, "target": target, "target_weight": tw}, mesh
+        )
+        adv_step = steps.make_advmix_step(
+            model_d, model_g, tx_d, tx_g, cfg, mesh,
+            alpha=0.1, adv_loss_weight=1.0,
+        )
 
     import functools
 
@@ -151,11 +176,15 @@ def main():
     def full_step(st, raw, key):
         views = make_advmix_views(raw["clean"], key, out_dtype=dtype,
                                   compute_dtype=dtype)
-        batch = {
-            "views": views,
-            "target": raw["target"],
-            "target_weight": raw["target_weight"],
-        }
+        if bottomup:
+            batch = {"views": views, "joints": raw["joints"],
+                     "joints_vis": raw["joints_vis"]}
+        else:
+            batch = {
+                "views": views,
+                "target": raw["target"],
+                "target_weight": raw["target_weight"],
+            }
         return adv_step_body(st, batch)
 
     def sync(st, metrics):

@@ -350,6 +350,42 @@ def test_bench_cfg_knob(tmp_path):
 
 
 @pytest.mark.slow
+def test_bench_bottomup_cfg(tmp_path):
+    """bench.py dispatches the bottom-up AdvMix step for higher_hrnet
+    configs (BENCH_OPTS shrinks the model so CPU compile stays small)."""
+    import json as jsonlib
+
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+        BENCH_CFG="experiments/coco/higher_hrnet/w32_512_advmix.yaml",
+        BENCH_OPTS=(
+            "MODEL.IMAGE_SIZE [64,64] MODEL.HEATMAP_SIZE [16,16] "
+            "MODEL.EXTRA.STAGE2.NUM_BLOCKS [1,1] "
+            "MODEL.EXTRA.STAGE3.NUM_BLOCKS [1,1,1] "
+            "MODEL.EXTRA.STAGE4.NUM_BLOCKS [1,1,1,1] "
+            "MODEL.EXTRA.STAGE3.NUM_MODULES 1 "
+            "MODEL.EXTRA.STAGE4.NUM_MODULES 1 "
+            "MODEL.EXTRA.STAGE2.NUM_CHANNELS [8,16] "
+            "MODEL.EXTRA.STAGE3.NUM_CHANNELS [8,16,32] "
+            "MODEL.EXTRA.STAGE4.NUM_CHANNELS [8,16,32,64] "
+            "MODEL.EXTRA.DECONV.NUM_CHANNELS [8]"
+        ),
+        BENCH_BATCH="2", BENCH_STEPS="1", BENCH_WINDOWS="1",
+    )
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    out = jsonlib.loads(line)
+    assert out["unit"] == "img/s/chip" and out["value"] > 0
+    assert "w32_512_advmix" in out["metric"]
+
+
+@pytest.mark.slow
 def test_serving_bench_cli(tmp_path):
     """tools/serving_bench.py runs all three arms on a tiny config and
     prints the one-JSON-line contract."""

@@ -193,6 +193,40 @@ def test_profile_cli_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_profile_cli_bottomup(tmp_path):
+    """tools/profile.py dispatches the bottom-up AdvMix step for
+    higher_hrnet configs (shrunken stages keep the CPU compile small)."""
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    r = subprocess.run(
+        [sys.executable, "tools/profile.py",
+         "--cfg", "experiments/coco/higher_hrnet/w32_512_advmix.yaml",
+         "--advmix", "--sample_times", "3",
+         "--num_devices", "2", "--profile_steps", "1",
+         "--trace_dir", str(tmp_path / "trace"),
+         "TRAIN.BATCH_SIZE_PER_GPU", "2",
+         "MODEL.IMAGE_SIZE", "[64,64]", "MODEL.HEATMAP_SIZE", "[16,16]",
+         "MODEL.EXTRA.STAGE2.NUM_BLOCKS", "[1,1]",
+         "MODEL.EXTRA.STAGE3.NUM_BLOCKS", "[1,1,1]",
+         "MODEL.EXTRA.STAGE4.NUM_BLOCKS", "[1,1,1,1]",
+         "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+         "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+         "MODEL.EXTRA.STAGE2.NUM_CHANNELS", "[8,16]",
+         "MODEL.EXTRA.STAGE3.NUM_CHANNELS", "[8,16,32]",
+         "MODEL.EXTRA.STAGE4.NUM_CHANNELS", "[8,16,32,64]",
+         "MODEL.EXTRA.DECONV.NUM_CHANNELS", "[8]"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "step profile" in r.stdout
+    assert "advmix" in r.stdout
+
+
+@pytest.mark.slow
 def test_export_cli_roundtrip(tmp_path):
     """tools/export.py: AOT StableHLO export of the inference step +
     deserialize/execute round-trip + orbax weights copy."""

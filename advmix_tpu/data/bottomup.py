@@ -22,6 +22,7 @@ import numpy as np
 
 from ..ops.transforms import get_affine_transform, affine_transform
 from .datasets import BaseJointsDataset
+from . import masks as masks_lib
 from . import records as records_lib
 
 MAX_PEOPLE = 30
@@ -65,15 +66,29 @@ class BottomUpCOCODataset(BaseJointsDataset):
         by_image: dict = {}
         for rec in per_person:
             by_image.setdefault(rec["image"], []).append(rec)
-        self.records = [
-            dict(image=path, people=recs) for path, recs in by_image.items()
-        ]
+        # ignore-region segmentations (crowd / zero-keypoint persons) for
+        # loss masking, keyed by image id (public HigherHRNet mask recipe)
+        ignore = masks_lib.load_coco_ignore_segs(
+            self.ann_file, max_images=200 if cfg.DATASET.MINI_COCO else None
+        )
+        self.records = []
+        for path, recs in by_image.items():
+            img_id = int(recs[0]["instance_index"].split("_")[0])
+            info = ignore.get(img_id, {"segs": [], "hw": None})
+            self.records.append(
+                dict(image=path, people=recs, ignore_segs=info["segs"])
+            )
 
     def get_sample(self, idx: int, rng: np.random.RandomState) -> dict:
         rec = self.records[idx]
         img = self._read_image(rec["image"])
         h, w = img.shape[:2]
         input_size = int(self.image_size[0])  # square input
+        # VALID mask (1 = supervise): crowd / unannotated-person regions get
+        # zeroed so the heatmap loss never penalizes predictions there; it
+        # rides the SAME flip + affine as the image and ships at input
+        # resolution (the step resizes it to each output scale on device).
+        valid = masks_lib.build_valid_mask(rec.get("ignore_segs"), h, w)
 
         center = np.array([w / 2.0, h / 2.0], np.float32)
         scale = np.array([max(h, w) / 200.0, max(h, w) / 200.0], np.float32)
@@ -96,6 +111,7 @@ class BottomUpCOCODataset(BaseJointsDataset):
             )
             if self.flip and rng.rand() <= 0.5:
                 img = img[:, ::-1, :]
+                valid = valid[:, ::-1]
                 joints[:, :, 0] = w - joints[:, :, 0] - 1
                 for a, b in self.flip_pairs:
                     joints[:, [a, b]] = joints[:, [b, a]]
@@ -107,6 +123,12 @@ class BottomUpCOCODataset(BaseJointsDataset):
         crop = cv2.warpAffine(
             img, trans, (input_size, input_size), flags=cv2.INTER_LINEAR
         )
+        # out-of-canvas area warps in as 0 = ignored, matching the public
+        # recipe (padding pixels carry no supervision signal)
+        mask = cv2.warpAffine(
+            valid, trans, (input_size, input_size), flags=cv2.INTER_LINEAR
+        )
+        mask = (mask > 0.5).astype(np.float32)
         for m in range(len(people)):
             for j in range(self.num_joints):
                 if vis[m, j] > 0:
@@ -118,6 +140,7 @@ class BottomUpCOCODataset(BaseJointsDataset):
 
         return dict(
             image=np.ascontiguousarray(crop),
+            mask=mask,
             joints=joints,
             joints_vis=vis,
             center=center,

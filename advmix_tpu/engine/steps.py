@@ -193,11 +193,19 @@ def make_advmix_step(
     num_views: int = 3,
     axis: str = "data",
     debug: bool = False,
+    teacher_apply=None,
 ):
+    """`teacher_apply(variables, images) -> output` overrides the teacher
+    forward (default: `model_d.apply(..., train=False)`) — the int8
+    teacher perf lever (`ops.quant.make_int8_teacher_apply`), opt-in via
+    TRAIN.INT8_TEACHER."""
     axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from .heatmap_debug import debug_outputs
 
     loss_of = _loss_fn_for(cfg)
+    if teacher_apply is None:
+        def teacher_apply(variables, images):
+            return model_d.apply(variables, images, train=False)
 
     def step(state, batch):
         views = batch["views"]  # (B, H, W, 3*K) channel-concat of K views
@@ -220,10 +228,9 @@ def make_advmix_step(
         mixed_sg = lax.stop_gradient(mixed)  # == tmp.detach(), function.py:146
 
         # Teacher forward on the clean view, eval mode (function.py:148-149).
-        teacher_out = model_d.apply(
+        teacher_out = teacher_apply(
             {"params": state.params_t, "batch_stats": state.batch_stats_t},
             clean,
-            train=False,
         )
         teacher_out = lax.stop_gradient(teacher_out)
 
@@ -316,8 +323,14 @@ def make_advmix_step(
 # Eval step (lib/core/function.py:200-318)
 # ---------------------------------------------------------------------------
 
-def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "data"):
+def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh,
+                   axis: str = "data", debug: bool = False):
+    """When `debug`, additionally returns the output heatmaps + decoded
+    heatmap-space peaks (sharded) so validate() can dump joint-overlay /
+    heatmap grids every PRINT_FREQ like the reference's validate
+    (`lib/core/function.py:301-316`)."""
     axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
+    from .heatmap_debug import debug_outputs
     from ..ops.heatmap import get_final_preds_softargmax
     from ..ops.transforms import transform_preds_jax
 
@@ -383,13 +396,19 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
             "pck_hit_j": hit_j,
             "pck_valid_j": val_j,
         }
+        if debug:
+            return preds, maxvals, metrics, debug_outputs(out)
         return preds, maxvals, metrics
 
+    out_specs = (
+        (P(axis), P(axis), P(), P(axis)) if debug
+        else (P(axis), P(axis), P())
+    )
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(), P(axis)),
-        out_specs=(P(axis), P(axis), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -398,8 +417,22 @@ def make_eval_step(model, cfg, flip_pairs: Sequence, mesh: Mesh, axis: str = "da
 # ---------------------------------------------------------------------------
 # Bottom-up (HigherHRNet) steps — no reference counterpart (SURVEY §6 gap);
 # loss composition per the public HigherHRNet recipe: per-scale heatmap MSE
-# + associative-embedding pull/push at the 1/4 tag head.
+# masked by the crowd/unannotated ignore regions + associative-embedding
+# pull/push at the 1/4 tag head (the AE loss reads GT joint locations of
+# annotated people only, so the ignore mask has nothing to mask there).
 # ---------------------------------------------------------------------------
+
+def _mask_at(mask, h: int, w: int):
+    """Resize the (B, S, S) input-resolution valid mask to an output scale
+    and re-binarize (the public recipe warps per-scale with nearest; a
+    linear resize + 0.5 threshold of the same binary mask is the
+    device-side analog). None passes through (unmasked loss)."""
+    if mask is None:
+        return None
+    if mask.shape[1] == h and mask.shape[2] == w:
+        return mask
+    m = jax.image.resize(mask, (mask.shape[0], h, w), method="linear")
+    return (m > 0.5).astype(jnp.float32)
 
 def make_bottomup_step(
     model,
@@ -420,6 +453,7 @@ def make_bottomup_step(
     def step(state, batch):
         joints = batch["joints"]  # (B, M, J, 2) in input coords
         vis = batch["joints_vis"]  # (B, M, J)
+        mask = batch.get("mask")  # (B, S, S) valid mask or None
 
         def loss_fn(params):
             outs, mut = model.apply(
@@ -438,7 +472,8 @@ def make_bottomup_step(
                     joints * ratio, vis, (out.shape[2], out.shape[1]), sigma
                 )
                 total = total + bottomup_heatmap_loss(
-                    out[..., :num_joints], tgt
+                    out[..., :num_joints], tgt,
+                    mask=_mask_at(mask, out.shape[1], out.shape[2]),
                 )
                 if si == 0:
                     locs_quarter = locs
@@ -482,10 +517,19 @@ def make_bottomup_step(
 
 
 def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
-                            max_peaks: int = 30, axis: str = "data"):
-    """Forward (+ flip TTA), aggregate scales, extract top-k peaks on
-    device; host-side grouping consumes the outputs
-    (evaluation/grouping.py)."""
+                            max_peaks: int = 30, axis: str = "data",
+                            scales=(1.0,)):
+    """Forward (+ flip TTA), aggregate output scales, extract top-k peaks
+    on device; host-side grouping consumes the outputs
+    (evaluation/grouping.py).
+
+    `scales` beyond (1.0,) enables the published HigherHRNet MULTI-SCALE
+    test protocol (e.g. [0.5, 1, 2]): the input is resized per test scale
+    on device, each scale's (flip-averaged) heatmaps are projected to the
+    scale-1 aggregation resolution and averaged across scales; the tag
+    vectors come from scale 1 only (the published convention — tags at
+    other scales live in unaligned embedding spaces). One jitted program
+    runs all scales; shapes stay static per scale."""
     axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from ..ops.ae import aggregate_heatmaps, top_k_peaks
     from ..ops.transforms import flip_back
@@ -493,20 +537,49 @@ def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
     num_joints = cfg.MODEL.NUM_JOINTS
     flip_test = cfg.TEST.FLIP_TEST
     pairs = tuple(tuple(p) for p in flip_pairs)
+    input_size = int(cfg.MODEL.IMAGE_SIZE[0])
+    scales = tuple(float(s) for s in scales)
+    assert 1.0 in scales, "the base test scale 1 is required"
+
+    def one_scale(variables, image, target_hw, with_tags: bool):
+        """Flip-averaged heatmaps at target_hw; stacked tag vectors when
+        with_tags (scale 1 only)."""
+        outs = model.apply(variables, image, train=False)
+        hw = target_hw or (outs[-1].shape[1], outs[-1].shape[2])
+        heat, tags = aggregate_heatmaps(outs, hw)
+        if flip_test:
+            outs_f = model.apply(variables, image[:, :, ::-1, :],
+                                 train=False)
+            heat_f, tags_f = aggregate_heatmaps(outs_f, hw)
+            heat = (heat + flip_back(heat_f, pairs)) * 0.5
+            # published HigherHRNet flip protocol: the flipped pass's
+            # tagmaps are flipped back (spatial mirror + paired-joint
+            # channel swap — the same transform heatmaps get) and STACKED
+            # as a second tag dimension; grouping distance becomes the L2
+            # norm over the (unflipped, flipped) tag vector. Averaging
+            # would mix distinct embedding spaces; dropping them (as before
+            # VERDICT r3 item #3) discards half the tag evidence.
+            tags = jnp.stack([tags, flip_back(tags_f, pairs)], axis=-1)
+        return heat, hw, (tags if with_tags else None)
 
     def step(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
-        outs = model.apply(variables, batch["image"], train=False)
-        target_hw = (outs[-1].shape[1], outs[-1].shape[2])
-        heat, tags = aggregate_heatmaps(outs, target_hw)
-        if flip_test:
-            outs_f = model.apply(
-                variables, batch["image"][:, :, ::-1, :], train=False
-            )
-            heat_f, tags_f = aggregate_heatmaps(outs_f, target_hw)
-            heat = (heat + flip_back(heat_f, pairs)) * 0.5
-            # tags are not averaged across flips (distinct embedding spaces);
-            # standard practice keeps the unflipped tags
+        img = batch["image"]
+        b = img.shape[0]
+        # scale 1 first: it fixes the aggregation resolution and owns tags
+        heat, target_hw, tags = one_scale(variables, img, None, True)
+        if len(scales) > 1:
+            heat_sum = heat
+            for s in sorted(scales, reverse=True):
+                if s == 1.0:
+                    continue
+                size = int(input_size * s)
+                img_s = jax.image.resize(
+                    img, (b, size, size, img.shape[3]), method="linear"
+                )
+                h_s, _, _ = one_scale(variables, img_s, target_hw, False)
+                heat_sum = heat_sum + h_s
+            heat = heat_sum / float(len(scales))
         peaks = top_k_peaks(heat, tags, k=max_peaks)
         return heat, tags, peaks
 
@@ -548,7 +621,7 @@ def make_bottomup_advmix_step(
     input_size = int(cfg.MODEL.IMAGE_SIZE[0])
     sigma = float(cfg.MODEL.SIGMA)
 
-    def pose_loss(outs, joints, vis):
+    def pose_loss(outs, joints, vis, mask):
         total = 0.0
         pull = push = 0.0
         for si, out in enumerate(outs):
@@ -556,16 +629,24 @@ def make_bottomup_advmix_step(
             tgt, locs = generate_bottomup_target(
                 joints * ratio, vis, (out.shape[2], out.shape[1]), sigma
             )
-            total = total + bottomup_heatmap_loss(out[..., :num_joints], tgt)
+            total = total + bottomup_heatmap_loss(
+                out[..., :num_joints], tgt,
+                mask=_mask_at(mask, out.shape[1], out.shape[2]),
+            )
             if si == 0:
                 pull, push = ae_loss(out[..., num_joints:], locs, vis)
         return total + pull_factor * pull + push_factor * push
 
-    def kd_loss(outs, teacher_outs):
+    def kd_loss(outs, teacher_outs, mask):
+        # ignore regions carry no supervision signal for the KD term
+        # either: the teacher's predictions there describe unannotated
+        # people, the same content the GT mask excludes
         total = 0.0
         for out, tout in zip(outs, teacher_outs):
             total = total + bottomup_heatmap_loss(
-                out[..., :num_joints], lax.stop_gradient(tout[..., :num_joints])
+                out[..., :num_joints],
+                lax.stop_gradient(tout[..., :num_joints]),
+                mask=_mask_at(mask, out.shape[1], out.shape[2]),
             )
         return total
 
@@ -574,6 +655,7 @@ def make_bottomup_advmix_step(
         clean = views[..., :3]
         joints = batch["joints"]
         vis = batch["joints_vis"]
+        mask = batch.get("mask")
 
         def g_forward(pg):
             logits = model_g.apply({"params": pg}, views)
@@ -598,8 +680,8 @@ def make_bottomup_advmix_step(
                 mixed_sg, train=True, mutable=["batch_stats"],
             )
             loss = (
-                pose_loss(outs, joints, vis) * (1.0 - alpha)
-                + kd_loss(outs, teacher_outs) * alpha
+                pose_loss(outs, joints, vis, mask) * (1.0 - alpha)
+                + kd_loss(outs, teacher_outs, mask) * alpha
             )
             return loss, mut["batch_stats"]
 
@@ -616,7 +698,7 @@ def make_bottomup_advmix_step(
                 {"params": new_params_d, "batch_stats": stats_after_d},
                 mixed_in, train=True, mutable=["batch_stats"],
             )
-            loss = -pose_loss(outs, joints, vis) * adv_loss_weight
+            loss = -pose_loss(outs, joints, vis, mask) * adv_loss_weight
             return loss, mut["batch_stats"]
 
         (loss_g, stats_after_g), dmixed = jax.value_and_grad(

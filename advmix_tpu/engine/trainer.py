@@ -289,9 +289,15 @@ def validate(
     output_dir: str,
     writer=None,
     writer_state=None,
+    debug_out_dir: str | None = None,
 ):
     """Full validation pass + dataset.evaluate
     (reference `validate`, lib/core/function.py:200-360).
+
+    `debug_out_dir` (with an eval_step built debug=True) dumps val
+    joint-overlay/heatmap grids every PRINT_FREQ, gated by DEBUG.* —
+    the reference's validate-time save_debug_images
+    (lib/core/function.py:301-316).
 
     Multi-host: the caller shards `loader` per process; each process
     accumulates only its own prediction rows, the shards are allgathered
@@ -311,7 +317,7 @@ def validate(
     idx = 0
     t_device = 0.0
 
-    for host_batch in loader:
+    for bi, host_batch in enumerate(loader):
         bsz = len(host_batch["image"])
         raw = device_put_batch(
             {
@@ -334,7 +340,13 @@ def validate(
         batch["scale"] = raw["scale"]
         batch["valid"] = raw["valid"]
         t0 = time.time()
-        preds, maxvals, metrics = eval_step(params, batch_stats, batch)
+        step_out = eval_step(params, batch_stats, batch)
+        preds, maxvals, metrics = step_out[:3]
+        if debug_out_dir is not None and len(step_out) == 4 \
+                and bi % cfg.PRINT_FREQ == 0:
+            _dump_val_debug_images(
+                cfg, host_batch, batch, step_out[3], debug_out_dir, bi
+            )
         if n_proc > 1:
             preds = _local_eval_rows(preds)
             maxvals = _local_eval_rows(maxvals)
@@ -528,6 +540,28 @@ def output_dir_of(cfg):
     )
 
 
+def _dump_val_debug_images(cfg, host_batch, dev_batch, debug_out, out_dir,
+                           i):
+    """Validate-time debug dumps (`lib/core/function.py:301-316`): the
+    reference saves GT/pred joint overlays + heatmap grids every
+    PRINT_FREQ during validate, prefix 'val'."""
+    import os as _os
+
+    from ..utils.vis import save_debug_images
+
+    _os.makedirs(out_dir, exist_ok=True)
+    prefix = _os.path.join(out_dir, f"val_{i}")
+    image_norm = np.asarray(jax.device_get(dev_batch["image"]))
+    target = np.asarray(jax.device_get(dev_batch["target"]))
+    output = np.asarray(jax.device_get(debug_out["output"]))
+    pred = np.asarray(jax.device_get(debug_out["pred_coords"]))
+    stride = image_norm.shape[1] / output.shape[1]
+    save_debug_images(
+        cfg, image_norm, host_batch["joints"], host_batch["joints_vis"],
+        target, pred * stride, output, prefix,
+    )
+
+
 def _dump_debug_images(cfg, host_batch, dev_batch, debug_out, out_dir,
                        epoch, i, advmix):
     """Per-PRINT_FREQ debug dumps (reference save_debug_images call sites,
@@ -566,14 +600,18 @@ def make_bottomup_preprocessor(cfg, advmix: bool):
     mean, std = IMAGENET_MEAN_STD
 
     @jax.jit
-    def prep(image_u8, joints, joints_vis, key):
+    def prep(image_u8, joints, joints_vis, key, mask=None):
         img = image_u8.astype(jnp.float32)
         if advmix:
             views = make_advmix_views(img, key)
-            return {"views": views, "joints": joints,
-                    "joints_vis": joints_vis}
-        return {"image": (img - mean) / std, "joints": joints,
-                "joints_vis": joints_vis}
+            out = {"views": views, "joints": joints,
+                   "joints_vis": joints_vis}
+        else:
+            out = {"image": (img - mean) / std, "joints": joints,
+                   "joints_vis": joints_vis}
+        if mask is not None:  # crowd/unannotated ignore-region valid mask
+            out["mask"] = mask
+        return out
 
     return prep
 
@@ -586,15 +624,16 @@ def train_epoch_bottomup(cfg, step_fn, prep_fn, state, loader, mesh, epoch,
     end = time.time()
     for i, host_batch in enumerate(loader):
         key, sub = jax.random.split(key)
-        raw = device_put_batch(
-            {
-                "image": host_batch["image"],
-                "joints": host_batch["joints"],
-                "joints_vis": host_batch["joints_vis"],
-            },
-            mesh,
-        )
-        batch = prep_fn(raw["image"], raw["joints"], raw["joints_vis"], sub)
+        raw = {
+            "image": host_batch["image"],
+            "joints": host_batch["joints"],
+            "joints_vis": host_batch["joints_vis"],
+        }
+        if "mask" in host_batch:
+            raw["mask"] = host_batch["mask"]
+        raw = device_put_batch(raw, mesh)
+        batch = prep_fn(raw["image"], raw["joints"], raw["joints_vis"], sub,
+                        mask=raw.get("mask"))
         state, metrics = step_fn(state, batch)
         loss_key = "loss_d" if advmix else "loss"
         n = host_batch["_n"]

@@ -120,8 +120,12 @@ def bottomup_heatmap_loss(pred, target, mask=None):
 def top_k_peaks(heatmaps: jnp.ndarray, tags: jnp.ndarray, k: int = 30):
     """Max-pool NMS then per-joint top-k.
 
-    heatmaps: (B, H, W, J); tags: (B, H, W, J).
-    Returns dict of (B, J, k) arrays: x, y, val, tag.
+    heatmaps: (B, H, W, J); tags: (B, H, W, J) scalar tagmaps or
+    (B, H, W, J, T) stacked tag vectors (flip-test concatenates the
+    unflipped and flipped-back tagmaps as T=2 — the published HigherHRNet
+    flip protocol; grouping distance is the L2 norm over T).
+    Returns dict of (B, J, k) arrays: x, y, val; tag is (B, J, k) or
+    (B, J, k, T) matching the input.
     """
     b, h, w, j = heatmaps.shape
     pooled = jax.lax.reduce_window(
@@ -133,8 +137,14 @@ def top_k_peaks(heatmaps: jnp.ndarray, tags: jnp.ndarray, k: int = 30):
     vals, idx = jax.lax.top_k(flat, k)  # (B, J, k)
     xs = (idx % w).astype(jnp.float32)
     ys = (idx // w).astype(jnp.float32)
-    tflat = tags.transpose(0, 3, 1, 2).reshape(b, j, h * w)
-    tvals = jnp.take_along_axis(tflat, idx, axis=2)
+    if tags.ndim == 5:
+        t = tags.shape[-1]
+        tflat = tags.transpose(0, 3, 4, 1, 2).reshape(b, j, t, h * w)
+        tvals = jnp.take_along_axis(tflat, idx[:, :, None, :], axis=3)
+        tvals = tvals.transpose(0, 1, 3, 2)  # (B, J, k, T)
+    else:
+        tflat = tags.transpose(0, 3, 1, 2).reshape(b, j, h * w)
+        tvals = jnp.take_along_axis(tflat, idx, axis=2)
     return {"x": xs, "y": ys, "val": vals, "tag": tvals}
 
 

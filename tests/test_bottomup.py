@@ -360,3 +360,53 @@ def test_higher_hrnet_use_scan_equivalent():
     assert len(outs) == len(outs_s) == 2
     for a, b in zip(outs, outs_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_bottomup_multiscale_eval_step():
+    """Published multi-scale test protocol (VERDICT r3 item #9): scales
+    [0.5, 1, 2] run in ONE program; heat stays at the scale-1 aggregation
+    resolution, tags stay scale-1 (stacked 2-dim under flip-test)."""
+    from advmix_tpu.config import load_config
+    from advmix_tpu.engine import steps
+    from advmix_tpu.parallel import get_mesh, device_put_batch
+    from advmix_tpu.parallel.mesh import replicate
+
+    cfg = load_config()
+    cfg.defrost()
+    cfg.MODEL.NUM_JOINTS = 4
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.TEST.FLIP_TEST = True
+    cfg.freeze()
+    mesh = get_mesh(8)
+    model = HigherHRNet(num_joints=4, num_deconv_filters=(8,), **TINY_STAGES)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    params = replicate(v["params"], mesh)
+    stats = replicate(v.get("batch_stats", {}), mesh)
+    pairs = [[1, 2]]
+
+    rng = np.random.RandomState(0)
+    batch = device_put_batch(
+        {"image": jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))},
+        mesh,
+    )
+    step1 = steps.make_bottomup_eval_step(model, cfg, pairs, mesh)
+    heat1, tags1, peaks1 = jax.device_get(step1(params, stats, batch))
+    step3 = steps.make_bottomup_eval_step(
+        model, cfg, pairs, mesh, scales=(0.5, 1, 2)
+    )
+    heat3, tags3, peaks3 = jax.device_get(step3(params, stats, batch))
+
+    assert heat3.shape == heat1.shape  # scale-1 aggregation resolution
+    assert tags3.shape == tags1.shape == heat1.shape + (2,)  # flip-stacked
+    assert peaks3["tag"].shape == peaks1["tag"].shape
+    # tags come from scale 1 ONLY -> identical; heat is a 3-scale average
+    np.testing.assert_allclose(tags3, tags1, atol=1e-6)
+    # relative: random-init heatmap magnitudes are ~1e-12 (0.001-std convs)
+    assert np.abs(heat1).max() > 0
+    assert np.abs(heat3 - heat1).max() > 0.1 * np.abs(heat1).max()
+    # grouping consumes the multi-scale outputs unchanged
+    from advmix_tpu.evaluation.grouping import parse_bottomup
+    pk = {k: np.asarray(peaks3[k][0]) for k in peaks3}
+    ppl, scores = parse_bottomup(heat3[0], tags3[0], pk)
+    assert ppl.ndim == 3 and ppl.shape[2] == 5  # [x, y, val, tag0, tag1]

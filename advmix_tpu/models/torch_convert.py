@@ -283,7 +283,11 @@ def unstack_from_scan(scanned: dict) -> dict:
         if not has_stage and not has_block:
             out[path] = val
             continue
-        val = _np.asarray(val)
+        if not hasattr(val, "shape"):
+            val = _np.asarray(val)
+        # (jax tracers pass through untouched: slicing below is jit-safe,
+        # so a scanned teacher can be unstacked INSIDE a compiled step —
+        # the int8-teacher path in engine/steps.make_advmix_step)
         if has_stage and has_block:
             for m in range(val.shape[0]):
                 for b in range(val.shape[1]):

@@ -38,6 +38,7 @@ Caveats:
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Callable, Iterable, Mapping
 
 import numpy as np
@@ -158,6 +159,7 @@ def calibrate_act_scales(
     percentile: float = 99.9,
     skip=None,
     apply_kwargs: Mapping[str, Any] | None = None,
+    margin: float = 1.0,
 ) -> dict[str, float]:
     """Run calibration batches eagerly, recording per-conv input ranges.
 
@@ -165,6 +167,10 @@ def calibrate_act_scales(
     `method`: "absmax" (max over all batches) or "percentile" (given
     percentile of |x| pooled over batches -- clips outliers, usually
     better for post-ReLU long tails).
+    `margin` multiplies every scale (>1 leaves saturation headroom when
+    serving inputs range wider than the calibration set — e.g. corruption
+    sweeps calibrated on clean batches, ADVICE r3 #1 — at the cost of
+    coarser rounding on in-range values).
     """
     if method not in ("absmax", "percentile"):
         raise ValueError(f"method must be 'absmax' or 'percentile': {method}")
@@ -216,7 +222,8 @@ def calibrate_act_scales(
             p: float(np.percentile(np.concatenate(v), percentile))
             for p, v in samples.items()
         }
-    return {p: max(r, 1e-12) / 127.0 for p, r in ranges.items()}
+    return {p: max(r, 1e-12) / 127.0 * float(margin)
+            for p, r in ranges.items()}
 
 
 def calibrate_from_loader(
@@ -268,8 +275,15 @@ def make_quantized_apply(
     interceptor rewrites the graph at trace time). With `w_scales`
     (from `prequantize_params`), kernels in the variables tree are
     already int8 and the per-channel scales are baked-in constants.
+
+    After the first trace, `apply_fn.quantized_paths` holds the conv paths
+    actually intercepted; scales whose path never matched any conv (e.g.
+    calibrated on a differently-named scanned/unscanned construction)
+    trigger a loud warning instead of silently serving f32 (ADVICE r3 #2).
     """
     skip_fn = _make_skip_fn(skip)
+    quantized_paths: set = set()
+    state = {"checked": False}
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
@@ -282,14 +296,33 @@ def make_quantized_apply(
             if not skip_fn(path):
                 scale = act_scales.get(path, fallback_scale)
                 if scale is not None:
+                    quantized_paths.add(path)
                     ws = w_scales.get(path) if w_scales else None
                     return _quantized_conv(mod, args[0], float(scale), ws)
         return next_fun(*args, **kwargs)
 
     def apply_fn(variables, *args, **kwargs):
         with nn.intercept_methods(interceptor):
-            return model.apply(variables, *args, **kwargs)
+            out = model.apply(variables, *args, **kwargs)
+        if not state["checked"]:
+            state["checked"] = True
+            unmatched = sorted(set(act_scales) - quantized_paths)
+            if not quantized_paths:
+                warnings.warn(
+                    "int8 apply quantized ZERO convs — none of the "
+                    f"{len(act_scales)} calibrated paths matched a conv in "
+                    "this model (scanned vs unscanned construction, or a "
+                    "renamed module?); the 'int8' forward is running f32"
+                )
+            elif unmatched:
+                warnings.warn(
+                    f"int8 apply: {len(unmatched)} calibrated path(s) never "
+                    f"matched any conv (first: {unmatched[:3]}); those convs "
+                    "are running f32"
+                )
+        return out
 
+    apply_fn.quantized_paths = quantized_paths
     return apply_fn
 
 
@@ -311,6 +344,47 @@ def quantized_model_view(model: nn.Module, act_scales, skip=None,
     return _View()
 
 
+def make_int8_teacher_apply(
+    model_unscanned: nn.Module,
+    act_scales: Mapping[str, float],
+    skip=None,
+):
+    """Int8 TEACHER forward for the fused AdvMix step (a training-perf
+    lever with NO reference counterpart — the reference's teacher runs
+    fp32, `lib/core/function.py:148-149`).
+
+    The teacher is frozen inference inside an otherwise HBM-bound train
+    step, so its forward can run W8A8 exactly like the serving path
+    (~2x MXU rate, ~half the weight/activation bytes). Returns
+    `teacher_apply(variables, images) -> output` for
+    `engine.steps.make_advmix_step(..., teacher_apply=...)`:
+
+    - `variables` may be the SCANNED (USE_SCAN) teacher tree straight
+      from the train state; it is unstacked to the per-conv-path layout
+      inside the trace (tracer-safe slicing, `torch_convert.
+      unstack_from_scan`) so the conv interceptor sees distinct paths.
+    - the quantized forward runs eval-mode on the unscanned
+      construction (same weights; unscan/scan forward parity is tested
+      in test_hrnet_convert.py).
+
+    The KD target moves from f32 to int8-rounded teacher heatmaps —
+    opt-in (TRAIN.INT8_TEACHER) and measured, not default.
+    """
+    from ..models.torch_convert import is_scanned, unstack_from_scan
+
+    q_apply = make_quantized_apply(model_unscanned, act_scales, skip=skip)
+
+    def teacher_apply(variables, images):
+        variables = {
+            k: (unstack_from_scan(v)
+                if isinstance(v, dict) and is_scanned(v) else v)
+            for k, v in dict(variables).items()
+        }
+        return q_apply(variables, images, train=False)
+
+    return teacher_apply
+
+
 def prequantize_params(
     params: Mapping[str, Any],
     act_scales: Mapping[str, float],
@@ -329,7 +403,18 @@ def prequantize_params(
     it as a serving artifact next to the exported StableHLO module.
     """
     skip_fn = _make_skip_fn(skip)
-    new_params = jax.tree.map(lambda a: a, dict(params))  # shallow-ish copy
+    # rebuild as plain dicts first: leaf dicts are mutated below, and flax
+    # FrozenDict nodes (older checkpoints / callers passing frozen
+    # variables, at any nesting level) would raise a bare TypeError deep
+    # in the loop (ADVICE r3 #4)
+    from flax.core import FrozenDict
+
+    def _plain(d):
+        if isinstance(d, (dict, FrozenDict)):
+            return {k: _plain(v) for k, v in d.items()}
+        return d
+
+    new_params = _plain(params)
     w_scales: dict[str, np.ndarray] = {}
     for path in act_scales:
         if skip_fn(path):

@@ -257,3 +257,90 @@ def test_polymorphic_int8_export_no_train_kwarg():
     for n in (3, 7):
         out = rt.call(qp, jnp.zeros((n, 16, 12, 3), jnp.float32))
         assert np.asarray(out).shape == (n, 16, 12, 4)
+
+
+def test_int8_teacher_in_advmix_step():
+    """TRAIN.INT8_TEACHER (net-new perf lever, no reference counterpart):
+    the fused AdvMix step runs the frozen teacher forward W8A8 via
+    make_int8_teacher_apply. The teacher params come in SCANNED (the
+    shipped-YAML layout) and are unstacked inside the trace; the step's
+    loss_d and the resulting D update must stay close to the f32-teacher
+    step (the KD target moves by int8 rounding only)."""
+    from advmix_tpu.config import load_config
+    from advmix_tpu.engine import optim, state as state_lib, steps
+    from advmix_tpu.models.pose_hrnet import PoseHighResolutionNet
+    from advmix_tpu.models.torch_convert import is_scanned, unstack_from_scan
+    from advmix_tpu.models.unet import UnetGenerator
+    from advmix_tpu.ops.augment import make_advmix_views
+    from advmix_tpu.ops.heatmap import generate_target
+    from advmix_tpu.parallel import get_mesh, device_put_batch
+    from advmix_tpu.parallel.mesh import replicate
+
+    # >1 identical blocks/modules so the scanned construction actually
+    # scans (pose_hrnet engages lax.scan only for nb > 1 / n_same > 1)
+    STAGES = dict(
+        stage2_cfg=dict(NUM_MODULES=1, NUM_BRANCHES=2, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2], NUM_CHANNELS=[8, 16],
+                        FUSE_METHOD="SUM"),
+        stage3_cfg=dict(NUM_MODULES=2, NUM_BRANCHES=3, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2, 2], NUM_CHANNELS=[8, 16, 32],
+                        FUSE_METHOD="SUM"),
+        stage4_cfg=dict(NUM_MODULES=1, NUM_BRANCHES=4, BLOCK="BASIC",
+                        NUM_BLOCKS=[2, 2, 2, 2], NUM_CHANNELS=[8, 16, 32, 64],
+                        FUSE_METHOD="SUM"),
+    )
+    B, J = 8, 4
+    cfg = load_config()
+    cfg.defrost()
+    cfg.MODEL.NUM_JOINTS = J
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.freeze()
+    mesh = get_mesh(8)
+    model_d = PoseHighResolutionNet(num_joints=J, use_scan=True, **STAGES)
+    model_uns = PoseHighResolutionNet(num_joints=J, use_scan=False, **STAGES)
+    model_g = UnetGenerator(output_nc=3, num_downs=6)
+    tx_d = optim.get_optimizer(cfg)
+    tx_g = optim.get_generator_optimizer(cfg)
+    rng = jax.random.PRNGKey(0)
+    st0 = state_lib.create_advmix_state(
+        model_d, model_g, tx_d, tx_g, rng, jnp.zeros((2, 64, 64, 3)))
+
+    rs = np.random.RandomState(0)
+    clean = jnp.asarray(
+        rs.randint(0, 256, (B, 64, 64, 3)).astype(np.float32))
+    views = make_advmix_views(clean, jax.random.PRNGKey(1))
+    joints = jnp.asarray(rs.uniform(5, 59, (B, J, 2)).astype(np.float32))
+    vis = jnp.ones((B, J), jnp.float32)
+    tgt, _, tw = generate_target(joints, vis, (64, 64), (16, 16), 2.0)
+    batch = device_put_batch(
+        {"views": views, "target": tgt, "target_weight": tw}, mesh)
+
+    assert is_scanned(st0.params_t)
+    vars_t = {
+        "params": unstack_from_scan(jax.tree.map(np.asarray, st0.params_t)),
+        "batch_stats": unstack_from_scan(
+            jax.tree.map(np.asarray, st0.batch_stats_t)),
+    }
+    scales = quant.calibrate_act_scales(
+        model_uns, vars_t, [np.asarray(views[..., :3])])
+    assert len(scales) > 10
+    t_apply = quant.make_int8_teacher_apply(model_uns, scales)
+
+    step_f32 = steps.make_advmix_step(model_d, model_g, tx_d, tx_g, cfg, mesh)
+    step_int8 = steps.make_advmix_step(
+        model_d, model_g, tx_d, tx_g, cfg, mesh, teacher_apply=t_apply)
+
+    def fresh():
+        return replicate(jax.tree.map(np.copy, st0), mesh)
+
+    st_f, m_f = step_f32(fresh(), batch)
+    st_q, m_q = step_int8(fresh(), batch)
+    # loss_d differs only through the alpha-weighted KD term's int8
+    # rounding of the teacher heatmaps
+    np.testing.assert_allclose(
+        float(m_q["loss_d"]), float(m_f["loss_d"]), rtol=0.05, atol=1e-4)
+    # the D update stays close
+    for a, b in zip(jax.tree.leaves(st_q.params_d),
+                    jax.tree.leaves(st_f.params_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

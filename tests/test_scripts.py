@@ -330,8 +330,13 @@ def test_export_cli_int8(tmp_path):
 
 
 @pytest.mark.slow
-def test_int8_corruption_sweep_cli(tmp_path):
-    """TEST.INT8 drives the whole on-the-fly sweep through int8 convs."""
+@pytest.mark.parametrize("use_scan", [False, True])
+def test_int8_corruption_sweep_cli(tmp_path, use_scan):
+    """TEST.INT8 drives the whole on-the-fly sweep through int8 convs.
+
+    use_scan=True is the shipped-YAML shape (VERDICT r3 #7): the CLI must
+    auto-derive the unscanned view for calibration/eval instead of
+    requiring a manual MODEL.EXTRA.USE_SCAN override."""
     env = dict(os.environ)
     env.update(
         ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
@@ -347,11 +352,14 @@ def test_int8_corruption_sweep_cli(tmp_path):
          "--on_the_fly", "--distortions", "brightness",
          "OUTPUT_DIR", out_dir, "LOG_DIR", str(tmp_path / "log"),
          "TEST.INT8", "True", "TEST.INT8_CALIB_BATCHES", "1",
-         "TEST.BATCH_SIZE_PER_GPU", "2"],
+         "TEST.BATCH_SIZE_PER_GPU", "2",
+         "MODEL.EXTRA.USE_SCAN", "True" if use_scan else "False"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     assert "int8 eval:" in (r.stdout + r.stderr)
+    if use_scan:
+        assert "auto-unscanned" in (r.stdout + r.stderr)
     csvs = []
     for root, _, fs in os.walk(out_dir + "_robustness"):
         csvs += [os.path.join(root, f) for f in fs if f.endswith(".csv")]

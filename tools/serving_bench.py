@@ -62,13 +62,14 @@ def main(argv=None):
 
     cfg = get_default_config()
     update_config(cfg, args)
-    if extra_args.arm != "bf16":
-        # int8 needs the unscanned construction (ops/quant.py)
-        cfg.defrost()
-        extra_cfg = dict(cfg.MODEL.EXTRA)
-        extra_cfg["USE_SCAN"] = False
-        cfg.MODEL.EXTRA = extra_cfg
-        cfg.freeze()
+    # EVERY arm uses the unscanned construction (int8 needs it for
+    # calibration, ops/quant.py; forcing it for bf16 too keeps the
+    # int8-vs-bf16 comparison a one-variable experiment — ADVICE r3)
+    cfg.defrost()
+    extra_cfg = dict(cfg.MODEL.EXTRA)
+    extra_cfg["USE_SCAN"] = False
+    cfg.MODEL.EXTRA = extra_cfg
+    cfg.freeze()
 
     mesh = get_mesh(args.num_devices or None)
     dtype = (jnp.bfloat16

@@ -137,10 +137,49 @@ def main(argv=None):
                 alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
             )
         else:
+            teacher_apply = None
+            if cfg.TRAIN.INT8_TEACHER:
+                # int8 (W8A8) teacher forward — the teacher is frozen
+                # inference; calibrate its activation scales on the first
+                # clean train batches through the unscanned construction
+                # (ops/quant.py; the step unstacks scanned teacher params
+                # in-trace). KD targets become int8-rounded: opt-in.
+                from advmix_tpu.models.torch_convert import (
+                    is_scanned, unstack_from_scan,
+                )
+                from advmix_tpu.ops import quant
+
+                cfg_uns = cfg.clone()
+                cfg_uns.defrost()
+                extra_uns = dict(cfg_uns.MODEL.EXTRA)
+                extra_uns["USE_SCAN"] = False
+                cfg_uns.MODEL.EXTRA = extra_uns
+                cfg_uns.freeze()
+                model_uns = models.get_pose_net(cfg_uns, dtype=dtype)
+                vars_t = {
+                    k: (unstack_from_scan(v) if is_scanned(v) else v)
+                    for k, v in {
+                        "params": jax.tree.map(np.asarray, state.params_t),
+                        "batch_stats": jax.tree.map(
+                            np.asarray, state.batch_stats_t),
+                    }.items()
+                }
+                calib_ds = build_dataset(cfg, is_train=True)
+                act_scales = quant.calibrate_from_loader(
+                    model_uns, vars_t,
+                    Loader(calib_ds, cfg.TRAIN.BATCH_SIZE_PER_GPU,
+                           shuffle=False),
+                    cfg.TEST.INT8_CALIB_BATCHES,
+                    margin=float(cfg.TEST.INT8_CALIB_MARGIN),
+                )
+                teacher_apply = quant.make_int8_teacher_apply(
+                    model_uns, act_scales)
+                logger.info(f"=> int8 teacher: {len(act_scales)} convs "
+                            "calibrated")
             step_fn = steps.make_advmix_step(
                 model, model_g, tx, tx_g, cfg, mesh,
                 alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
-                debug=cfg.DEBUG.DEBUG,
+                debug=cfg.DEBUG.DEBUG, teacher_apply=teacher_apply,
             )
     else:
         state = state_lib.create_pose_state(model, tx, rng, sample)
@@ -148,6 +187,23 @@ def main(argv=None):
             state = state.replace(params=models.he_reinit_convs(
                 state.params, jax.random.PRNGKey(42)))
             logger.info("=> HE_INIT: conv kernels re-initialized (He)")
+        if args.load_from_D:
+            # standard-mode warm start from a prior run (orbax final_state
+            # dir or torch .pth) — the equal-optimization-budget control
+            # arm of scripts/advmix_demo.sh continues standard training
+            # with the same extra-epoch budget the advmix arm gets
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            if os.path.isdir(args.load_from_D):
+                from advmix_tpu.engine.checkpoint import load_final_state
+
+                loaded = load_final_state(args.load_from_D, variables)
+            else:
+                loaded = load_torch_checkpoint(args.load_from_D, variables)
+            state = state.replace(
+                params=loaded["params"], batch_stats=loaded["batch_stats"]
+            )
+            logger.info(f"=> loaded D from {args.load_from_D}")
         if cfg.MODEL.INIT_WEIGHTS and os.path.isfile(cfg.MODEL.PRETRAINED):
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
@@ -219,7 +275,8 @@ def main(argv=None):
     if bottomup:
         prep_train = trainer_lib.make_bottomup_preprocessor(cfg, advmix=advmix)
         eval_step = steps.make_bottomup_eval_step(
-            model, cfg, valid_dataset.flip_pairs, mesh
+            model, cfg, valid_dataset.flip_pairs, mesh,
+            scales=tuple(cfg.TEST.SCALE_FACTOR),
         )
         prep_eval = None
     else:
@@ -231,7 +288,8 @@ def main(argv=None):
         )
         prep_eval = trainer_lib.make_eval_preprocessor(cfg)
         eval_step = steps.make_eval_step(
-            model, cfg, valid_dataset.flip_pairs, mesh
+            model, cfg, valid_dataset.flip_pairs, mesh,
+            debug=bool(cfg.DEBUG.DEBUG),
         )
 
     ckpt = CheckpointManager(output_dir)
@@ -288,6 +346,10 @@ def main(argv=None):
             name_values, perf = trainer_lib.validate(
                 cfg, eval_step, prep_eval, params, stats, valid_dataset,
                 valid_loader, mesh, output_dir, writer, writer_state,
+                debug_out_dir=(
+                    trainer_lib.output_dir_of(cfg)
+                    if cfg.DEBUG.DEBUG else None
+                ),
             )
 
         is_best = perf > best_perf

@@ -118,8 +118,13 @@ class Loader:
                           : (self.shard_index + 1) * self.batch_size]
             if len(chunk) == 0:
                 # keep step counts aligned across processes: repeat the
-                # last available index as padding (marked _n == 0)
-                chunk = indices[start : start + 1]
+                # last available index of the GLOBAL batch as padding
+                # (marked _n == 0) — the same index _pad repeats on the
+                # process holding the partial slice, so the padded global
+                # batch is identical for every process count (a 2-process
+                # run bit-matches the single-process run even on ragged
+                # tails; tests/test_multiprocess.py)
+                chunk = indices[start : start + gbs][-1:]
                 batches.append((chunk, 0))
                 continue
             batches.append((chunk, len(chunk)))

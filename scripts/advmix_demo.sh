@@ -28,6 +28,15 @@ python tools/train.py --cfg $CFG --advmix --sample_times 3 --kd_mseloss \
 rm -rf "$WORK/advmix_state"
 cp -r $OUT/final_state "$WORK/advmix_state"
 
+echo "=== [2b] equal-budget control: standard continued +200 epochs ==="
+# the advmix arm fine-tunes 200 epochs ON TOP of the standard run; the
+# honest control gets the same total optimization budget (400 standard
+# epochs, same restarted LR schedule) so the mPC/rPC deltas are
+# attributable to AdvMix itself, not to extra training (VERDICT r3 #8)
+python tools/train.py --cfg $CFG --load_from_D "$WORK/standard_state"
+rm -rf "$WORK/standard400_state"
+cp -r $OUT/final_state "$WORK/standard400_state"
+
 sweep () {  # $1 = state dir, $2 = tag
     rm -f $ROB/robust_C.val
     python tools/test_corruption.py --cfg $CFG --on_the_fly \
@@ -38,6 +47,8 @@ sweep () {  # $1 = state dir, $2 = tag
 
 echo "=== [3/4] corruption sweep: standard ==="
 sweep "$WORK/standard_state" standard
+echo "=== [3b] corruption sweep: standard400 (equal-budget control) ==="
+sweep "$WORK/standard400_state" standard400
 echo "=== [4/4] corruption sweep: advmix ==="
 sweep "$WORK/advmix_state" advmix
 

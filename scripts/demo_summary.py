@@ -36,12 +36,21 @@ def read_arm(work, tag):
 def main(work):
     print("\n=== AdvMix robustness demo summary ===")
     rows = {}
-    for tag in ("standard", "advmix"):
+    tags = ["standard", "advmix"]
+    # equal-optimization-budget control (VERDICT r3 weak #8): a standard
+    # arm trained the same TOTAL epochs as standard-then-advmix, so the
+    # advmix deltas aren't confounded with the extra fine-tune epochs
+    if glob.glob(f"{work}/results_standard400.csv"):
+        tags.insert(1, "standard400")
+    for tag in tags:
         clean, mpc, rpc = read_arm(work, tag)
         rows[tag] = (clean, mpc, rpc)
-        print(f"{tag:9s} clean={clean:.4f}  mPC={mpc:.4f}  rPC={rpc:.4f}")
-    d = rows["advmix"][2] - rows["standard"][2]
-    print(f"rPC delta (advmix - standard): {d:+.4f}")
+        print(f"{tag:12s} clean={clean:.4f}  mPC={mpc:.4f}  rPC={rpc:.4f}")
+    control = "standard400" if "standard400" in rows else "standard"
+    d = rows["advmix"][2] - rows[control][2]
+    print(f"rPC delta (advmix - {control}): {d:+.4f}")
+    dm = rows["advmix"][1] - rows[control][1]
+    print(f"mPC delta (advmix - {control}): {dm:+.4f}")
     return rows
 
 

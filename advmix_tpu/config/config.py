@@ -211,7 +211,10 @@ def get_default_config() -> ConfigNode:
     # frozen inference, so it can run quantized like the serving path
     # (ops/quant.py) — trades int8-rounded KD targets for fewer HBM bytes
     # in an HBM-bound step. Opt-in perf lever; calibrated on the first
-    # TEST.INT8_CALIB_BATCHES train batches (tools/train.py, bench.py).
+    # TEST.INT8_CALIB_BATCHES train batches. Wired for the top-down step
+    # (tools/train.py, bench.py BENCH_INT8_TEACHER); the bottom-up step
+    # exposes the same teacher_apply hook but is not wired by default
+    # (int8 measured counterproductive for bottom-up shapes, PERF.md).
     c.TRAIN.INT8_TEACHER = False
 
     c.TEST = ConfigNode()

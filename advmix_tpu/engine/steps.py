@@ -606,6 +606,7 @@ def make_bottomup_advmix_step(
     pull_factor: float = 0.001,
     push_factor: float = 0.001,
     axis: str = "data",
+    teacher_apply=None,
 ):
     """AdvMix min-max for the bottom-up family (BASELINE config #5:
     HigherHRNet-W32 512x512 AdvMix). Same structure as the top-down
@@ -613,7 +614,13 @@ def make_bottomup_advmix_step(
     mix with a KD term against the frozen teacher, G updates adversarially
     through the saved vjp — but D's loss is the bottom-up composite
     (per-scale heatmap MSE + AE pull/push) and the KD term matches D's
-    multi-scale heatmaps to the teacher's."""
+    multi-scale heatmaps to the teacher's.
+
+    `teacher_apply(variables, images) -> outs` overrides the teacher
+    forward — the int8 teacher lever, as in make_advmix_step."""
+    if teacher_apply is None:
+        def teacher_apply(variables, images):
+            return model_d.apply(variables, images, train=False)
     axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from ..ops.ae import ae_loss, bottomup_heatmap_loss, generate_bottomup_target
 
@@ -668,10 +675,9 @@ def make_bottomup_advmix_step(
         mixed, g_vjp = jax.vjp(g_forward, state.params_g)
         mixed_sg = lax.stop_gradient(mixed)
 
-        teacher_outs = model_d.apply(
+        teacher_outs = teacher_apply(
             {"params": state.params_t, "batch_stats": state.batch_stats_t},
             clean,
-            train=False,
         )
 
         def loss_d_fn(pd):

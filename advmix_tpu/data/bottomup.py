@@ -52,6 +52,12 @@ class BottomUpCOCODataset(BaseJointsDataset):
             if (cfg.TEST.TEST_ROBUST and not is_train)
             else ""
         )
+        import json
+
+        # one json.load serves both the record loader and (train only) the
+        # ignore-segmentation extraction — train jsons are hundreds of MB
+        with open(self.ann_file) as f:
+            coco = json.load(f)
         per_person = records_lib.load_coco_gt_records(
             self.ann_file,
             image_dir,
@@ -61,16 +67,24 @@ class BottomUpCOCODataset(BaseJointsDataset):
             corruption_type=corruption,
             severity=cfg.TEST.SEVERITY,
             root_c=cfg.DATASET.ROOT_C,
+            coco=coco,
         )
         # regroup per image
         by_image: dict = {}
         for rec in per_person:
             by_image.setdefault(rec["image"], []).append(rec)
-        # ignore-region segmentations (crowd / zero-keypoint persons) for
-        # loss masking, keyed by image id (public HigherHRNet mask recipe)
-        ignore = masks_lib.load_coco_ignore_segs(
-            self.ann_file, max_images=200 if cfg.DATASET.MINI_COCO else None
+        # ignore-region segmentations (crowd / zero-keypoint / degenerate-
+        # box persons) for train-time loss masking, keyed by image id
+        # (public HigherHRNet mask recipe)
+        ignore = (
+            masks_lib.load_coco_ignore_segs(
+                self.ann_file,
+                max_images=200 if cfg.DATASET.MINI_COCO else None,
+                coco=coco,
+            )
+            if is_train else {}
         )
+        del coco
         self.records = []
         for path, recs in by_image.items():
             img_id = int(recs[0]["instance_index"].split("_")[0])
@@ -88,7 +102,10 @@ class BottomUpCOCODataset(BaseJointsDataset):
         # zeroed so the heatmap loss never penalizes predictions there; it
         # rides the SAME flip + affine as the image and ships at input
         # resolution (the step resizes it to each output scale on device).
-        valid = masks_lib.build_valid_mask(rec.get("ignore_segs"), h, w)
+        # Train-only: nothing on the eval path consumes it, so eval samples
+        # skip the rasterize + warp (and the ~1 MB/sample collate weight).
+        valid = (masks_lib.build_valid_mask(rec.get("ignore_segs"), h, w)
+                 if self.is_train else None)
 
         center = np.array([w / 2.0, h / 2.0], np.float32)
         scale = np.array([max(h, w) / 200.0, max(h, w) / 200.0], np.float32)
@@ -111,7 +128,8 @@ class BottomUpCOCODataset(BaseJointsDataset):
             )
             if self.flip and rng.rand() <= 0.5:
                 img = img[:, ::-1, :]
-                valid = valid[:, ::-1]
+                if valid is not None:
+                    valid = valid[:, ::-1]
                 joints[:, :, 0] = w - joints[:, :, 0] - 1
                 for a, b in self.flip_pairs:
                     joints[:, [a, b]] = joints[:, [b, a]]
@@ -125,10 +143,14 @@ class BottomUpCOCODataset(BaseJointsDataset):
         )
         # out-of-canvas area warps in as 0 = ignored, matching the public
         # recipe (padding pixels carry no supervision signal)
-        mask = cv2.warpAffine(
-            valid, trans, (input_size, input_size), flags=cv2.INTER_LINEAR
-        )
-        mask = (mask > 0.5).astype(np.float32)
+        if valid is not None:
+            mask = cv2.warpAffine(
+                valid, trans, (input_size, input_size),
+                flags=cv2.INTER_LINEAR,
+            )
+            mask = (mask > 0.5).astype(np.float32)
+        else:
+            mask = None
         for m in range(len(people)):
             for j in range(self.num_joints):
                 if vis[m, j] > 0:
@@ -138,9 +160,8 @@ class BottomUpCOCODataset(BaseJointsDataset):
                             and 0 <= joints[m, j][1] < input_size):
                         vis[m, j] = 0
 
-        return dict(
+        out = dict(
             image=np.ascontiguousarray(crop),
-            mask=mask,
             joints=joints,
             joints_vis=vis,
             center=center,
@@ -150,6 +171,9 @@ class BottomUpCOCODataset(BaseJointsDataset):
             image_path=rec["image"],
             instance_index="",
         )
+        if mask is not None:
+            out["mask"] = mask
+        return out
 
     def evaluate(self, cfg, preds, output_dir, all_boxes, img_path, **kwargs):
         from ..evaluation.coco_eval import evaluate_coco_keypoints

@@ -97,18 +97,25 @@ def build_valid_mask(segs, h: int, w: int) -> np.ndarray:
 
 
 def load_coco_ignore_segs(
-    ann_file: str, max_images: Optional[int] = None
+    ann_file: str, max_images: Optional[int] = None, coco: Optional[dict] = None
 ) -> dict:
     """Per-image ignore segmentations from a COCO keypoint json.
 
     Returns {image_id: {"segs": [segmentation, ...], "hw": (h, w)}} for
     every image (empty seg list when nothing is ignored). An annotation is
     an ignore region iff the GT record loader skips it
-    (records.load_coco_gt_records): crowd (`iscrowd=1`) or a person with no
-    annotated keypoints — the public HigherHRNet mask recipe.
+    (records.load_coco_gt_records): crowd (`iscrowd=1`), a person with no
+    annotated keypoints, or a person with a degenerate box/area
+    (records.py's area<=0 / clipped-empty-bbox skip) — every skipped person
+    is unsupervised, so firing on them must not be penalized (the public
+    HigherHRNet mask recipe).
+
+    Pass `coco` (the already-parsed annotation dict) to share one
+    json.load with the record loader — the train jsons are hundreds of MB.
     """
-    with open(ann_file) as f:
-        coco = json.load(f)
+    if coco is None:
+        with open(ann_file) as f:
+            coco = json.load(f)
     images = {im["id"]: im for im in coco["images"]}
     image_ids = sorted(images.keys())
     if max_images:
@@ -129,6 +136,14 @@ def load_coco_ignore_segs(
             continue
         kps = ann.get("keypoints", [])
         unannotated = (not kps) or max(kps) == 0
-        if ann.get("iscrowd", 0) or unannotated:
+        # mirror records.load_coco_gt_records' degenerate-box skip exactly
+        width = images[iid]["width"]
+        height = images[iid]["height"]
+        x, y, w, h = ann.get("bbox", (0, 0, 0, 0))
+        x1, y1 = max(0, x), max(0, y)
+        x2 = min(width - 1, x1 + max(0, w - 1))
+        y2 = min(height - 1, y1 + max(0, h - 1))
+        degenerate = ann.get("area", 0) <= 0 or x2 < x1 or y2 < y1
+        if ann.get("iscrowd", 0) or unannotated or degenerate:
             out[iid]["segs"].append(seg)
     return out

@@ -51,10 +51,16 @@ def load_coco_gt_records(
     severity: int = 0,
     root_c: str = "",
     filename_prefix: str = "",
+    coco: Optional[dict] = None,
 ) -> List[dict]:
-    """Ground-truth COCO keypoint records (no pycocotools dependency)."""
-    with open(ann_file) as f:
-        coco = json.load(f)
+    """Ground-truth COCO keypoint records (no pycocotools dependency).
+
+    `coco` takes an already-parsed annotation dict so callers that also
+    need other views of the json (e.g. bottom-up ignore segmentations)
+    pay for json.load once."""
+    if coco is None:
+        with open(ann_file) as f:
+            coco = json.load(f)
 
     images = {im["id"]: im for im in coco["images"]}
     image_ids = sorted(images.keys())

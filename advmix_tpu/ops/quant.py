@@ -171,9 +171,25 @@ def calibrate_act_scales(
     serving inputs range wider than the calibration set — e.g. corruption
     sweeps calibrated on clean batches, ADVICE r3 #1 — at the cost of
     coarser rounding on in-range values).
+
+    The absmax path runs as ONE jitted program per batch shape (the
+    interceptor records per-conv |x| maxima as traced outputs): on the
+    TPU backend an eager forward dispatches every primitive through the
+    remote compiler — minutes per calibration batch for a ResNet through
+    the relay, vs one ~30 s compile jitted. `percentile` still needs the
+    concrete pooled samples and stays eager (CPU-appropriate).
     """
     if method not in ("absmax", "percentile"):
         raise ValueError(f"method must be 'absmax' or 'percentile': {method}")
+    from ..models.torch_convert import is_scanned
+
+    if is_scanned(dict(variables).get("params", {})):
+        raise ValueError(
+            "int8 calibration needs MODEL.EXTRA.USE_SCAN: false — scanned "
+            "bodies share one traced conv path, so per-layer scales are "
+            "unrecoverable (unstack the params: int8_teacher_from_config / "
+            "torch_convert.unstack_from_scan)"
+        )
     skip_fn = _make_skip_fn(skip)
     maxima: dict[str, float] = {}
     samples: dict[str, list] = {}
@@ -181,27 +197,47 @@ def calibrate_act_scales(
     # models whose __call__ takes no train kwarg
     kw = {"train": False} if apply_kwargs is None else dict(apply_kwargs)
 
-    def interceptor(next_fun, args, kwargs, context):
-        mod = context.module
-        if (
-            isinstance(mod, nn.Conv)
-            and context.method_name == "__call__"
-            and _supported(mod)
-        ):
-            path = _path_of(mod)
-            if not skip_fn(path):
-                x = args[0]
-                if isinstance(x, jax.core.Tracer):
-                    raise ValueError(
-                        "calibrate_act_scales needs eager execution with "
-                        "concrete values; got a tracer at "
-                        f"'{path}' (is the model scanned? construct it "
-                        "with USE_SCAN=False for calibration)"
-                    )
-                ax = np.abs(np.asarray(x, np.float32))
-                if method == "absmax":
-                    maxima[path] = max(maxima.get(path, 0.0), float(ax.max()))
-                else:
+    if method == "absmax":
+
+        def traced_maxima(batch):
+            vals: dict[str, jnp.ndarray] = {}
+
+            def interceptor(next_fun, args, kwargs, context):
+                mod = context.module
+                if (
+                    isinstance(mod, nn.Conv)
+                    and context.method_name == "__call__"
+                    and _supported(mod)
+                ):
+                    path = _path_of(mod)
+                    if not skip_fn(path):
+                        m = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                        vals[path] = (
+                            jnp.maximum(vals[path], m) if path in vals else m
+                        )
+                return next_fun(*args, **kwargs)
+
+            with nn.intercept_methods(interceptor):
+                model.apply(variables, batch, **kw)
+            return vals
+
+        run = jax.jit(traced_maxima)
+        for batch in batches:
+            for p, m in jax.device_get(run(batch)).items():
+                maxima[p] = max(maxima.get(p, 0.0), float(m))
+        ranges = maxima
+    else:
+
+        def interceptor(next_fun, args, kwargs, context):
+            mod = context.module
+            if (
+                isinstance(mod, nn.Conv)
+                and context.method_name == "__call__"
+                and _supported(mod)
+            ):
+                path = _path_of(mod)
+                if not skip_fn(path):
+                    ax = np.abs(np.asarray(args[0], np.float32))
                     # subsample to bound memory on big batches (strided:
                     # O(kept), unlike choice(replace=False) whose internal
                     # permutation is O(n) int64)
@@ -209,15 +245,11 @@ def calibrate_act_scales(
                     if flat.size > 1 << 20:
                         flat = flat[:: (flat.size >> 20) or 1]
                     samples.setdefault(path, []).append(flat)
-        return next_fun(*args, **kwargs)
+            return next_fun(*args, **kwargs)
 
-    with nn.intercept_methods(interceptor):
-        for batch in batches:
-            model.apply(variables, batch, **kw)
-
-    if method == "absmax":
-        ranges = maxima
-    else:
+        with nn.intercept_methods(interceptor):
+            for batch in batches:
+                model.apply(variables, batch, **kw)
         ranges = {
             p: float(np.percentile(np.concatenate(v), percentile))
             for p, v in samples.items()
@@ -383,6 +415,58 @@ def make_int8_teacher_apply(
         return q_apply(variables, images, train=False)
 
     return teacher_apply
+
+
+def int8_teacher_from_config(
+    cfg,
+    dtype,
+    teacher_variables: Mapping[str, Any],
+    *,
+    loader=None,
+    n_batches: int = 2,
+    margin: float = 1.0,
+    calib_images=None,
+):
+    """One-stop TRAIN.INT8_TEACHER constructor (shared by tools/train.py
+    and bench.py so the clone-unscan-calibrate recipe exists once):
+    clones `cfg` with USE_SCAN off, builds the unscanned model at
+    `dtype`, unstacks scanned teacher variables eagerly for calibration,
+    calibrates activation scales — from `loader` ("image" uint8 batches,
+    ImageNet-normalized, `calibrate_from_loader` semantics incl.
+    `margin`) or from `calib_images` (already-normalized float arrays) —
+    and returns `(teacher_apply, act_scales)`.
+    """
+    import numpy as _np
+
+    from .. import models as _models
+    from ..models.torch_convert import is_scanned, unstack_from_scan
+
+    cfg_uns = cfg.clone()
+    cfg_uns.defrost()
+    extra_uns = dict(cfg_uns.MODEL.EXTRA)
+    extra_uns["USE_SCAN"] = False
+    cfg_uns.MODEL.EXTRA = extra_uns
+    cfg_uns.freeze()
+    model_uns = _models.get_pose_net(cfg_uns, dtype=dtype)
+    vars_uns = {
+        k: (unstack_from_scan(v)
+            if isinstance(v, dict) and is_scanned(v) else v)
+        for k, v in {
+            k2: jax.tree.map(_np.asarray, v2)
+            for k2, v2 in dict(teacher_variables).items()
+        }.items()
+    }
+    if loader is not None:
+        act_scales = calibrate_from_loader(
+            model_uns, vars_uns, loader, n_batches, margin=margin
+        )
+    else:
+        if not calib_images:
+            raise ValueError("int8 teacher: pass loader= or calib_images=")
+        act_scales = calibrate_act_scales(
+            model_uns, vars_uns, list(calib_images), margin=margin
+        )
+    return make_int8_teacher_apply(model_uns, act_scales), act_scales
 
 
 def prequantize_params(

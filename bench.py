@@ -167,33 +167,15 @@ def main():
             # are calibrated eagerly on the clean view of the bench batch
             # through the UNSCANNED construction; the step unstacks the
             # scanned teacher params in-trace (ops/quant.py).
-            from advmix_tpu.models.torch_convert import (
-                is_scanned, unstack_from_scan,
-            )
             from advmix_tpu.ops import quant
 
-            cfg_uns = cfg.clone()
-            cfg_uns.defrost()
-            extra_uns = dict(cfg_uns.MODEL.EXTRA)
-            extra_uns["USE_SCAN"] = False
-            cfg_uns.MODEL.EXTRA = extra_uns
-            cfg_uns.freeze()
-            model_uns = models.get_pose_net(cfg_uns, dtype=dtype)
-            vars_t = {
-                k: (unstack_from_scan(v) if is_scanned(v) else v)
-                for k, v in {
-                    "params": jax.tree.map(np.asarray, st.params_t),
-                    "batch_stats": jax.tree.map(
-                        np.asarray, st.batch_stats_t),
-                }.items()
-            }
             calib_views = make_advmix_views(
                 clean[:32], jax.random.PRNGKey(7))
-            act_scales = quant.calibrate_act_scales(
-                model_uns, vars_t, [np.asarray(calib_views[..., :3])],
+            teacher_apply, act_scales = quant.int8_teacher_from_config(
+                cfg, dtype,
+                {"params": st.params_t, "batch_stats": st.batch_stats_t},
+                calib_images=[np.asarray(calib_views[..., :3])],
             )
-            teacher_apply = quant.make_int8_teacher_apply(
-                model_uns, act_scales)
             print(f"int8 teacher: {len(act_scales)} convs calibrated",
                   file=sys.stderr)
         adv_step = steps.make_advmix_step(

@@ -16,15 +16,21 @@ ROB=output_robustness/synthetic/pose_resnet/test_corruption
 WORK=${1:-/tmp/advmix_demo}
 mkdir -p "$WORK"
 
+# EPOCHS overrides the per-arm epoch budget (all three arms get the SAME
+# override, so the equal-optimization-budget comparison is preserved at
+# any scale); default is the config's TRAIN.END_EPOCH (200).
+OPTS=()
+if [ -n "${EPOCHS:-}" ]; then OPTS=(TRAIN.END_EPOCH "$EPOCHS"); fi
+
 echo "=== [1/4] standard training ==="
-python tools/train.py --cfg $CFG
+python tools/train.py --cfg $CFG "${OPTS[@]}"
 rm -rf "$WORK/standard_state"
 cp -r $OUT/final_state "$WORK/standard_state"
 
 echo "=== [2/4] advmix training (teacher + D init = standard run) ==="
 python tools/train.py --cfg $CFG --advmix --sample_times 3 --kd_mseloss \
     --alpha 0.1 --adv_loss_weight 1.0 --gen_input_chn 9 --downsamples 6 \
-    --load_from_D "$WORK/standard_state"
+    --load_from_D "$WORK/standard_state" "${OPTS[@]}"
 rm -rf "$WORK/advmix_state"
 cp -r $OUT/final_state "$WORK/advmix_state"
 
@@ -33,7 +39,7 @@ echo "=== [2b] equal-budget control: standard continued +200 epochs ==="
 # honest control gets the same total optimization budget (400 standard
 # epochs, same restarted LR schedule) so the mPC/rPC deltas are
 # attributable to AdvMix itself, not to extra training (VERDICT r3 #8)
-python tools/train.py --cfg $CFG --load_from_D "$WORK/standard_state"
+python tools/train.py --cfg $CFG --load_from_D "$WORK/standard_state" "${OPTS[@]}"
 rm -rf "$WORK/standard400_state"
 cp -r $OUT/final_state "$WORK/standard400_state"
 

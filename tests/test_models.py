@@ -159,7 +159,7 @@ class _TorchBasic(tnn.Module):
 
 
 class _TorchPoseResNet18(tnn.Module):
-    def __init__(self, num_joints=5):
+    def __init__(self, num_joints=5, deconv_filters=256):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64, momentum=0.1)
@@ -174,13 +174,13 @@ class _TorchPoseResNet18(tnn.Module):
         cin = 512
         for i in range(3):
             dl += [
-                tnn.ConvTranspose2d(cin, 256, 4, 2, 1, bias=False),
-                tnn.BatchNorm2d(256, momentum=0.1),
+                tnn.ConvTranspose2d(cin, deconv_filters, 4, 2, 1, bias=False),
+                tnn.BatchNorm2d(deconv_filters, momentum=0.1),
                 tnn.ReLU(inplace=True),
             ]
-            cin = 256
+            cin = deconv_filters
         self.deconv_layers = tnn.Sequential(*dl)
-        self.final_layer = tnn.Conv2d(256, num_joints, 1)
+        self.final_layer = tnn.Conv2d(deconv_filters, num_joints, 1)
 
     def forward(self, x):
         x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))

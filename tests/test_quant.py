@@ -344,3 +344,41 @@ def test_int8_teacher_in_advmix_step():
     for a, b in zip(jax.tree.leaves(st_q.params_d),
                     jax.tree.leaves(st_f.params_d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_int8_teacher_from_config_scanned_params():
+    """quant.int8_teacher_from_config (the one-stop TRAIN.INT8_TEACHER
+    constructor shared by tools/train.py and bench.py): given a config
+    whose model scans (USE_SCAN) and SCANNED teacher variables, it must
+    clone an unscanned construction, unstack the params, calibrate, and
+    return a teacher_apply whose output tracks the f32 forward within
+    int8 rounding."""
+    from advmix_tpu.config import load_config
+    from advmix_tpu.models import get_pose_net
+    from advmix_tpu.models.torch_convert import is_scanned
+
+    cfg = load_config(
+        "experiments/synthetic/res18_64x64_smoke.yaml",
+        ["MODEL.EXTRA.NUM_LAYERS", "34", "MODEL.EXTRA.USE_SCAN", "True"],
+    )
+    model = get_pose_net(cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.uniform(-2, 2, (2, 64, 64, 3)).astype(np.float32))
+    vs = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert is_scanned(vs["params"])  # resnet-34 layers scan for real
+
+    t_apply, scales = quant.int8_teacher_from_config(
+        cfg, jnp.float32, vs, calib_images=[np.asarray(x)])
+    assert len(scales) > 10
+    # the returned apply consumes the ORIGINAL (scanned) variables —
+    # unstacking happens in-trace (make_int8_teacher_apply)
+    got = np.asarray(t_apply(vs, x))
+    want = np.asarray(model.apply(vs, x, train=False))
+    assert got.shape == want.shape
+    err = np.abs(got - want).mean()
+    assert err < 0.05, err
+    assert err > 0  # int8 rounding actually happened
+
+    # loader-less misuse raises with a clear message
+    with pytest.raises(ValueError, match="calib_images"):
+        quant.int8_teacher_from_config(cfg, jnp.float32, vs)

@@ -71,6 +71,70 @@ def test_train_then_test_scripts(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_config_pretrained_init(tmp_path):
+    """MODEL.INIT_WEIGHTS + MODEL.PRETRAINED initializes D from a torch
+    checkpoint in BOTH train modes (the reference applies init_weights at
+    model construction, `lib/models/pose_resnet.py:270-296`), with an
+    explicit --load_from_D taking precedence over the config init."""
+    import torch
+
+    from test_models import _TorchPoseResNet18
+
+    torch.manual_seed(3)
+    t = _TorchPoseResNet18(num_joints=8, deconv_filters=64)
+    pth = str(tmp_path / "pretrained.pth")
+    torch.save({"state_dict": t.state_dict()}, pth)
+    want_conv1 = t.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+
+    env = dict(os.environ)
+    env.update(
+        ADVMIX_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests",
+    )
+
+    def train(out, extra_flags):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "train.py"),
+             "--cfg", SMOKE_CFG, "--num_devices", "2"] + extra_flags +
+            ["OUTPUT_DIR", str(tmp_path / out), "LOG_DIR",
+             str(tmp_path / "log"), "TRAIN.END_EPOCH", "0",
+             "MODEL.INIT_WEIGHTS", "True", "MODEL.PRETRAINED", pth],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        return os.path.join(
+            str(tmp_path / out), "synthetic", "pose_resnet",
+            "res18_64x64_smoke", "final_state",
+        )
+
+    def conv1_of(final):
+        import orbax.checkpoint as ocp
+
+        v = ocp.PyTreeCheckpointer().restore(os.path.abspath(final))
+        return np.asarray(v["params"]["conv1"]["kernel"])
+
+    # standard mode: exported D must carry the pretrained weights
+    np.testing.assert_allclose(
+        conv1_of(train("out_std", [])), want_conv1, atol=1e-6)
+
+    # advmix mode: D (and hence the export) seeds from PRETRAINED too
+    np.testing.assert_allclose(
+        conv1_of(train("out_adv", ["--advmix", "--sample_times", "3"])),
+        want_conv1, atol=1e-6)
+
+    # precedence: an explicit --load_from_D must override the config init
+    torch.manual_seed(7)
+    t2 = _TorchPoseResNet18(num_joints=8, deconv_filters=64)
+    pth2 = str(tmp_path / "warm.pth")
+    torch.save({"state_dict": t2.state_dict()}, pth2)
+    got = conv1_of(train("out_warm", ["--load_from_D", pth2]))
+    np.testing.assert_allclose(
+        got, t2.conv1.weight.detach().numpy().transpose(2, 3, 1, 0),
+        atol=1e-6)
+
+
+@pytest.mark.slow
 def test_make_datasets_script(tmp_path):
     import cv2
 
@@ -457,7 +521,8 @@ def test_serving_bench_cli(tmp_path):
 @pytest.mark.slow
 def test_serving_bench_bottomup(tmp_path):
     """serving_bench dispatches the bottom-up eval step (flip TTA +
-    multi-scale aggregate + on-device peaks) for higher_hrnet configs."""
+    multi-scale aggregate + on-device peaks) for higher_hrnet configs,
+    honoring the TEST.SCALE_FACTOR multi-scale test protocol."""
     import json as jsonlib
 
     env = dict(os.environ)
@@ -470,6 +535,7 @@ def test_serving_bench_bottomup(tmp_path):
          "--cfg", "experiments/coco/higher_hrnet/w32_512_advmix.yaml",
          "--arm", "bf16", "--batch", "2", "--steps", "1",
          "--num_devices", "2",
+         "TEST.SCALE_FACTOR", "[0.5,1,2]",
          "MODEL.IMAGE_SIZE", "[64,64]", "MODEL.HEATMAP_SIZE", "[16,16]",
          "MODEL.EXTRA.STAGE2.NUM_BLOCKS", "[1,1]",
          "MODEL.EXTRA.STAGE3.NUM_BLOCKS", "[1,1,1]",
@@ -488,3 +554,4 @@ def test_serving_bench_bottomup(tmp_path):
     out = jsonlib.loads(line)
     assert out["unit"] == "img/s" and out["value"] > 0
     assert "pose_higher_hrnet" in out["metric"]
+    assert "scales=[0.5, 1, 2]" in out["metric"]

@@ -111,8 +111,12 @@ def main(argv=None):
     if bottomup:
         # bottom-up serving: forward (+flip TTA), multi-scale aggregate,
         # on-device peak extraction; host grouping is excluded (it runs
-        # overlapped with the next batch in production validate_bottomup)
-        eval_step = steps.make_bottomup_eval_step(model, cfg, [[1, 2]], mesh)
+        # overlapped with the next batch in production validate_bottomup).
+        # TEST.SCALE_FACTOR [0.5,1,2] measures the published multi-scale
+        # protocol (same knob tools/test_corruption.py serves it by)
+        eval_step = steps.make_bottomup_eval_step(
+            model, cfg, [[1, 2]], mesh,
+            scales=tuple(cfg.TEST.SCALE_FACTOR))
         batch = device_put_batch({"image": img}, mesh)
     else:
         eval_step = steps.make_eval_step(model, cfg, [[1, 2]], mesh)
@@ -153,7 +157,10 @@ def main(argv=None):
     print(json.dumps({
         "metric": f"{cfg.MODEL.NAME} {w}x{h} eval/serving throughput "
                   f"({extra_args.arm}, batch {B}, flip_test="
-                  f"{bool(cfg.TEST.FLIP_TEST)})",
+                  f"{bool(cfg.TEST.FLIP_TEST)}"
+                  + (f", scales={list(cfg.TEST.SCALE_FACTOR)}"
+                     if bottomup and len(cfg.TEST.SCALE_FACTOR) > 1
+                     else "") + ")",
         "value": round(max(windows), 1),
         "unit": "img/s",
         "ms_per_batch": round(B / max(windows) * 1e3, 2),

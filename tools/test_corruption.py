@@ -230,8 +230,12 @@ def main(argv=None):
             name_values, perf = trainer_lib.validate(
                 cfg, eval_step, prep, params, stats, dataset, loader, mesh,
                 output_dir,
+                # per-run subdir: the sweep reuses batch indices as dump
+                # filenames, so a shared dir would overwrite every prior
+                # corruption/severity's images
                 debug_out_dir=(
-                    trainer_lib.output_dir_of(cfg)
+                    os.path.join(trainer_lib.output_dir_of(cfg),
+                                 f"debug_{corruption}_{severity0}")
                     if cfg.DEBUG.DEBUG else None
                 ),
             )

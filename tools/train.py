@@ -84,6 +84,22 @@ def main(argv=None):
             state = state.replace(params_d=models.he_reinit_convs(
                 state.params_d, jax.random.PRNGKey(42)))
             logger.info("=> HE_INIT: conv kernels re-initialized (He)")
+        if cfg.MODEL.INIT_WEIGHTS and os.path.isfile(cfg.MODEL.PRETRAINED):
+            # config PRETRAINED init (the reference applies init_weights at
+            # model construction in every mode); --load_from_D below
+            # overrides it, mirroring the reference's later fine-tune load
+            variables = {"params": state.params_d,
+                         "batch_stats": state.batch_stats_d}
+            layers = dict(cfg.MODEL.EXTRA).get("PRETRAINED_LAYERS")
+            loaded = load_torch_checkpoint(cfg.MODEL.PRETRAINED, variables,
+                                           pretrained_layers=layers)
+            state = state.replace(
+                params_d=loaded["params"],
+                batch_stats_d=loaded["batch_stats"],
+                params_t=jax.tree.map(np.copy, loaded["params"]),
+                batch_stats_t=jax.tree.map(np.copy, loaded["batch_stats"]),
+            )
+            logger.info(f"=> loaded pretrained {cfg.MODEL.PRETRAINED}")
         if args.load_from_D:
             variables = {"params": state.params_d,
                          "batch_stats": state.batch_stats_d}
@@ -137,61 +153,36 @@ def main(argv=None):
                 alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
             )
         else:
-            teacher_apply = None
-            if cfg.TRAIN.INT8_TEACHER:
-                # int8 (W8A8) teacher forward — the teacher is frozen
-                # inference; calibrate its activation scales on the first
-                # clean train batches through the unscanned construction
-                # (ops/quant.py; the step unstacks scanned teacher params
-                # in-trace). KD targets become int8-rounded: opt-in.
-                from advmix_tpu.models.torch_convert import (
-                    is_scanned, unstack_from_scan,
-                )
-                from advmix_tpu.ops import quant
-
-                cfg_uns = cfg.clone()
-                cfg_uns.defrost()
-                extra_uns = dict(cfg_uns.MODEL.EXTRA)
-                extra_uns["USE_SCAN"] = False
-                cfg_uns.MODEL.EXTRA = extra_uns
-                cfg_uns.freeze()
-                model_uns = models.get_pose_net(cfg_uns, dtype=dtype)
-                vars_t = {
-                    k: (unstack_from_scan(v) if is_scanned(v) else v)
-                    for k, v in {
-                        "params": jax.tree.map(np.asarray, state.params_t),
-                        "batch_stats": jax.tree.map(
-                            np.asarray, state.batch_stats_t),
-                    }.items()
-                }
-                calib_ds = build_dataset(cfg, is_train=True)
-                act_scales = quant.calibrate_from_loader(
-                    model_uns, vars_t,
-                    Loader(calib_ds, cfg.TRAIN.BATCH_SIZE_PER_GPU,
-                           shuffle=False),
-                    cfg.TEST.INT8_CALIB_BATCHES,
-                    margin=float(cfg.TEST.INT8_CALIB_MARGIN),
-                )
-                teacher_apply = quant.make_int8_teacher_apply(
-                    model_uns, act_scales)
-                logger.info(f"=> int8 teacher: {len(act_scales)} convs "
-                            "calibrated")
-            step_fn = steps.make_advmix_step(
-                model, model_g, tx, tx_g, cfg, mesh,
-                alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
-                debug=cfg.DEBUG.DEBUG, teacher_apply=teacher_apply,
-            )
+            # deferred until train_dataset exists: TRAIN.INT8_TEACHER
+            # calibrates on the first train batches (no throwaway second
+            # dataset construction)
+            step_fn = None
     else:
         state = state_lib.create_pose_state(model, tx, rng, sample)
         if dict(cfg.MODEL.EXTRA).get("HE_INIT"):
             state = state.replace(params=models.he_reinit_convs(
                 state.params, jax.random.PRNGKey(42)))
             logger.info("=> HE_INIT: conv kernels re-initialized (He)")
+        if cfg.MODEL.INIT_WEIGHTS and os.path.isfile(cfg.MODEL.PRETRAINED):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            # PRETRAINED_LAYERS selective init (pose_hrnet.py:462-492)
+            layers = dict(cfg.MODEL.EXTRA).get("PRETRAINED_LAYERS")
+            loaded = load_torch_checkpoint(cfg.MODEL.PRETRAINED, variables,
+                                           pretrained_layers=layers)
+            state = state.replace(
+                params=loaded["params"], batch_stats=loaded["batch_stats"]
+            )
+            logger.info(f"=> loaded pretrained {cfg.MODEL.PRETRAINED}")
         if args.load_from_D:
             # standard-mode warm start from a prior run (orbax final_state
             # dir or torch .pth) — the equal-optimization-budget control
             # arm of scripts/advmix_demo.sh continues standard training
-            # with the same extra-epoch budget the advmix arm gets
+            # with the same extra-epoch budget the advmix arm gets. Runs
+            # AFTER the config PRETRAINED load so the explicit CLI warm
+            # start wins (the reference applies init_weights at model
+            # construction and its fine-tune load later,
+            # tools/train.py:198-235).
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
             if os.path.isdir(args.load_from_D):
@@ -204,17 +195,6 @@ def main(argv=None):
                 params=loaded["params"], batch_stats=loaded["batch_stats"]
             )
             logger.info(f"=> loaded D from {args.load_from_D}")
-        if cfg.MODEL.INIT_WEIGHTS and os.path.isfile(cfg.MODEL.PRETRAINED):
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
-            # PRETRAINED_LAYERS selective init (pose_hrnet.py:462-492)
-            layers = dict(cfg.MODEL.EXTRA).get("PRETRAINED_LAYERS")
-            loaded = load_torch_checkpoint(cfg.MODEL.PRETRAINED, variables,
-                                           pretrained_layers=layers)
-            state = state.replace(
-                params=loaded["params"], batch_stats=loaded["batch_stats"]
-            )
-            logger.info(f"=> loaded pretrained {cfg.MODEL.PRETRAINED}")
         if bottomup:
             step_fn = steps.make_bottomup_step(model, tx, cfg, mesh)
         else:
@@ -271,6 +251,35 @@ def main(argv=None):
     logger.info(
         f"=> {len(train_dataset)} train / {len(valid_dataset)} val samples"
     )
+
+    if advmix and step_fn is None:
+        # deferred top-down advmix step construction (see above): the
+        # optional int8 teacher calibrates on the ACTUAL train dataset
+        teacher_apply = None
+        if cfg.TRAIN.INT8_TEACHER:
+            # int8 (W8A8) teacher forward — the teacher is frozen
+            # inference; calibrate its activation scales on the first
+            # clean train batches through the unscanned construction
+            # (ops/quant.py; the step unstacks scanned teacher params
+            # in-trace). KD targets become int8-rounded: opt-in.
+            from advmix_tpu.ops import quant
+
+            teacher_apply, act_scales = quant.int8_teacher_from_config(
+                cfg, dtype,
+                {"params": state.params_t,
+                 "batch_stats": state.batch_stats_t},
+                loader=Loader(train_dataset, cfg.TRAIN.BATCH_SIZE_PER_GPU,
+                              shuffle=False),
+                n_batches=cfg.TEST.INT8_CALIB_BATCHES,
+                margin=float(cfg.TEST.INT8_CALIB_MARGIN),
+            )
+            logger.info(f"=> int8 teacher: {len(act_scales)} convs "
+                        "calibrated")
+        step_fn = steps.make_advmix_step(
+            model, model_g, tx, tx_g, cfg, mesh,
+            alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,
+            debug=cfg.DEBUG.DEBUG, teacher_apply=teacher_apply,
+        )
 
     if bottomup:
         prep_train = trainer_lib.make_bottomup_preprocessor(cfg, advmix=advmix)

@@ -148,6 +148,15 @@ def main(argv=None):
                 state = state.replace(params_g=g_params)
                 logger.info(f"=> loaded G from {args.load_from_G}")
         if bottomup:
+            if cfg.TRAIN.INT8_TEACHER:
+                # measured counterproductive for HigherHRNet (PERF.md: the
+                # 512px bottom-up forward is conv-emitter-bound at C=32,
+                # int8 serving LOST 18%); the step's teacher_apply hook
+                # stays available for callers who want it anyway
+                logger.warning(
+                    "=> TRAIN.INT8_TEACHER ignored for bottom-up configs "
+                    "(measured slower than bf16 on HigherHRNet, PERF.md)"
+                )
             step_fn = steps.make_bottomup_advmix_step(
                 model, model_g, tx, tx_g, cfg, mesh,
                 alpha=args.alpha, adv_loss_weight=args.adv_loss_weight,

@@ -266,6 +266,82 @@ def _run_differential(ref, monkeypatch, tmp_path, cfg, ref_model_module,
     assert d_tp == 0.0
 
 
+def test_standard_train_one_step_differential(ref, monkeypatch, tmp_path):
+    """Same treatment for the STANDARD loop: two iterations of the
+    reference's own `train` (`/root/reference/lib/core/function.py:30-96`)
+    vs two fused `make_train_step` calls from identical converted weights
+    on identical batches — D params AND BatchNorm running stats must agree
+    leaf-by-leaf. Together with the advmix differentials below this covers
+    both training loops the reference ships."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from advmix_tpu.engine.state import PoseState
+    from advmix_tpu.engine.steps import make_train_step
+    from advmix_tpu.models import get_pose_net
+    from advmix_tpu.models import torch_convert as TC
+    from advmix_tpu.parallel import get_mesh
+
+    cfg = _small_cfg()
+    torch.manual_seed(11)
+    t_d = ref.pose_resnet.get_pose_net(cfg, is_train=False)
+
+    model = get_pose_net(cfg)
+    xd = jnp.zeros((B, HW, HW, 3), jnp.float32)
+    vd_tpl = dict(model.init(jax.random.PRNGKey(0), xd, train=False))
+    vd, rep = TC.torch_to_flax_variables(
+        t_d.state_dict(), vd_tpl, strict=True, return_report=True)
+    assert rep["matched"] > 50 and not rep["misses"]
+
+    tx = optax.sgd(LR_D)
+    state = PoseState(
+        params=vd["params"], batch_stats=vd["batch_stats"],
+        opt_state=tx.init(vd["params"]), step=jnp.zeros((), jnp.int32))
+    params0, stats0 = vd["params"], vd["batch_stats"]
+
+    batches = _batches(np.random.RandomState(7), n=2)
+
+    # reference loop: loader yields (input, [target], target_weight, meta)
+    # (`function.py:44-51` — target is indexed [0], target_weight is not)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    criterion = ref.loss.JointsMSELoss(use_target_weight=True)
+    opt = torch.optim.SGD(t_d.parameters(), lr=LR_D, momentum=0.0)
+    loader = [
+        (torch.from_numpy(views[0]), [torch.from_numpy(target)],
+         torch.from_numpy(tw), {})
+        for views, target, tw in batches
+    ]
+    writer_dict = {
+        "writer": SimpleNamespace(add_scalar=lambda *a, **k: None),
+        "train_global_steps": 0,
+    }
+    ref.function.train(
+        cfg, SimpleNamespace(), loader, t_d, criterion, opt, 0,
+        str(tmp_path), str(tmp_path), writer_dict)
+
+    step = make_train_step(model, tx, cfg, get_mesh(1))
+    for views, target, tw in batches:
+        batch = {
+            "image": jnp.asarray(views[0].transpose(0, 2, 3, 1)),
+            "target": jnp.asarray(target.transpose(0, 2, 3, 1)),
+            "target_weight": jnp.asarray(tw[..., 0]),
+        }
+        state, _ = step(state, batch)
+
+    vd_after = TC.torch_to_flax_variables(t_d.state_dict(), vd_tpl, strict=True)
+    moved_p, _ = _tree_diff(vd_after["params"], params0)
+    moved_bn, _ = _tree_diff(vd_after["batch_stats"], stats0)
+    assert moved_p > 1e-4 and moved_bn > 1e-3, (moved_p, moved_bn)
+
+    d_p, _ = _tree_diff(state.params, vd_after["params"])
+    d_bn, _ = _tree_diff(state.batch_stats, vd_after["batch_stats"])
+    assert d_p < 2e-5, f"params diverge: max|Δ|={d_p}"
+    assert d_bn < 2e-5, f"batch_stats diverge: max|Δ|={d_bn}"
+
+
 def test_advmix_one_step_differential(ref, monkeypatch, tmp_path):
     """D = the reference's actual PoseResNet-18 (shrunk deconv head)."""
     _run_differential(ref, monkeypatch, tmp_path, _small_cfg(),

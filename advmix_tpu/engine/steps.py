@@ -516,12 +516,13 @@ def make_bottomup_step(
     return fn
 
 
-def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
-                            max_peaks: int = 30, axis: str = "data",
-                            scales=(1.0,)):
-    """Forward (+ flip TTA), aggregate output scales, extract top-k peaks
-    on device; host-side grouping consumes the outputs
-    (evaluation/grouping.py).
+def bottomup_infer_fn(model, cfg, flip_pairs, max_peaks: int = 30,
+                      scales=(1.0,)):
+    """Pure bottom-up inference: `infer(params, batch_stats, image) ->
+    (heat, tags, peaks)` — forward (+ flip TTA), aggregate output scales,
+    extract top-k peaks on device; host-side grouping consumes the outputs
+    (evaluation/grouping.py). Shared by `make_bottomup_eval_step` (which
+    wraps it in shard_map) and the AOT serving export (tools/export.py).
 
     `scales` beyond (1.0,) enables the published HigherHRNet MULTI-SCALE
     test protocol (e.g. [0.5, 1, 2]): the input is resized per test scale
@@ -530,11 +531,9 @@ def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
     vectors come from scale 1 only (the published convention — tags at
     other scales live in unaligned embedding spaces). One jitted program
     runs all scales; shapes stay static per scale."""
-    axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from ..ops.ae import aggregate_heatmaps, top_k_peaks
     from ..ops.transforms import flip_back
 
-    num_joints = cfg.MODEL.NUM_JOINTS
     flip_test = cfg.TEST.FLIP_TEST
     pairs = tuple(tuple(p) for p in flip_pairs)
     input_size = int(cfg.MODEL.IMAGE_SIZE[0])
@@ -562,9 +561,8 @@ def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
             tags = jnp.stack([tags, flip_back(tags_f, pairs)], axis=-1)
         return heat, hw, (tags if with_tags else None)
 
-    def step(params, batch_stats, batch):
+    def infer(params, batch_stats, img):
         variables = {"params": params, "batch_stats": batch_stats}
-        img = batch["image"]
         b = img.shape[0]
         # scale 1 first: it fixes the aggregation resolution and owns tags
         heat, target_hw, tags = one_scale(variables, img, None, True)
@@ -582,6 +580,19 @@ def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
             heat = heat_sum / float(len(scales))
         peaks = top_k_peaks(heat, tags, k=max_peaks)
         return heat, tags, peaks
+
+    return infer
+
+
+def make_bottomup_eval_step(model, cfg, flip_pairs, mesh: Mesh,
+                            max_peaks: int = 30, axis: str = "data",
+                            scales=(1.0,)):
+    """`bottomup_infer_fn` wrapped over the data mesh (see its docstring)."""
+    axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
+    infer = bottomup_infer_fn(model, cfg, flip_pairs, max_peaks, scales)
+
+    def step(params, batch_stats, batch):
+        return infer(params, batch_stats, batch["image"])
 
     sharded = jax.shard_map(
         step,

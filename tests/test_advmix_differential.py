@@ -147,8 +147,31 @@ def _tree_diff(got, want):
     return dmax, smax
 
 
+def _ref_advmix_loop(ref, cfg, tmp_path, t_d, t_g, t_teacher, batches,
+                     dtype=None):
+    """Run the reference's own train_advmix over pre-built batches."""
+    import torch
+
+    cast = ((lambda a: torch.from_numpy(a).to(dtype)) if dtype is not None
+            else torch.from_numpy)
+    criterion = ref.loss.JointsMSELoss(use_target_weight=True)
+    opt_d = torch.optim.SGD(t_d.parameters(), lr=LR_D, momentum=0.0)
+    opt_g = torch.optim.SGD(t_g.parameters(), lr=LR_G, momentum=0.0)
+    loader = [([cast(v) for v in views], [cast(target)], [cast(tw)], [{}])
+              for views, target, tw in batches]
+    writer_dict = {
+        "writer": SimpleNamespace(add_scalar=lambda *a, **k: None),
+        "train_global_steps": 0,
+    }
+    args = SimpleNamespace(alpha=ALPHA, adv_loss_weight=ADV_W)
+    ref.function.train_advmix(
+        cfg, args, loader, [t_d, t_g, t_teacher], criterion,
+        [opt_d, opt_g], 0, str(tmp_path), str(tmp_path), writer_dict)
+
+
 def _run_differential(ref, monkeypatch, tmp_path, cfg, ref_model_module,
-                      atol=2e-5, min_matched=50):
+                      atol=2e-5, min_matched=50, noise_K=None,
+                      noise_floor=1e-4):
     import torch
 
     import jax
@@ -204,24 +227,27 @@ def _run_differential(ref, monkeypatch, tmp_path, cfg, ref_model_module,
 
     batches = _batches(np.random.RandomState(5), n=2)
 
+    # converter fidelity, well-conditioned: one eval-mode forward of the
+    # converted weights must match the reference's real module bit-tightly
+    # BEFORE any train-mode noise amplification enters the picture
+    t_d.eval()
+    with torch.no_grad():
+        fwd_ref = t_d(torch.from_numpy(batches[0][0][0])).numpy()
+    fwd_ours = np.asarray(model_d.apply(
+        {"params": vd["params"], "batch_stats": vd["batch_stats"]},
+        jnp.asarray(batches[0][0][0].transpose(0, 2, 3, 1)), train=False,
+    )).transpose(0, 3, 1, 2)
+    assert np.abs(fwd_ref - fwd_ours).max() < 1e-5
+
+    # snapshot initial weights so the f64 ground-truth rerun (noise_K
+    # mode) starts from the exact same point
+    init_sd_d = {k: v.clone() for k, v in t_d.state_dict().items()}
+    init_sd_t = {k: v.clone() for k, v in t_teacher.state_dict().items()}
+    init_sd_g = {k: v.clone() for k, v in t_g.state_dict().items()}
+
     # --- run the REFERENCE loop, 2 iterations (CPU: .cuda() -> identity) --
     monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
-    criterion = ref.loss.JointsMSELoss(use_target_weight=True)
-    opt_d = torch.optim.SGD(t_d.parameters(), lr=LR_D, momentum=0.0)
-    opt_g = torch.optim.SGD(t_g.parameters(), lr=LR_G, momentum=0.0)
-    loader = [
-        ([torch.from_numpy(v) for v in views],
-         [torch.from_numpy(target)], [torch.from_numpy(tw)], [{}])
-        for views, target, tw in batches
-    ]
-    writer_dict = {
-        "writer": SimpleNamespace(add_scalar=lambda *a, **k: None),
-        "train_global_steps": 0,
-    }
-    args = SimpleNamespace(alpha=ALPHA, adv_loss_weight=ADV_W)
-    ref.function.train_advmix(
-        cfg, args, loader, [t_d, t_g, t_teacher], criterion,
-        [opt_d, opt_g], 0, str(tmp_path), str(tmp_path), writer_dict)
+    _ref_advmix_loop(ref, cfg, tmp_path, t_d, t_g, t_teacher, batches)
 
     # --- run OUR fused step, 2 iterations ---------------------------------
     step = make_advmix_step(
@@ -248,16 +274,74 @@ def _run_differential(ref, monkeypatch, tmp_path, cfg, ref_model_module,
     assert moved_d > 1e-4 and moved_g > 1e-6 and moved_bn > 1e-3, (
         moved_d, moved_g, moved_bn)
 
-    d_dp, _ = _tree_diff(state.params_d, vd_after["params"])
-    d_bn, _ = _tree_diff(state.batch_stats_d, vd_after["batch_stats"])
-    d_gp, _ = _tree_diff(state.params_g, vg_after["params"])
-    # float32 end-to-end through conv backward in two different frameworks;
-    # deltas per step are O(lr * grad) ~ 1e-3, so ~2e-5 abs agreement means
-    # the composition (detach, KD mix, updated-D G step, double BN) is
-    # reproduced, not merely approximated.
-    assert d_dp < atol, f"D params diverge: max|Δ|={d_dp}"
-    assert d_bn < atol, f"D batch_stats diverge: max|Δ|={d_bn}"
-    assert d_gp < atol, f"G params diverge: max|Δ|={d_gp}"
+    if noise_K is None:
+        d_dp, _ = _tree_diff(state.params_d, vd_after["params"])
+        d_bn, _ = _tree_diff(state.batch_stats_d, vd_after["batch_stats"])
+        d_gp, _ = _tree_diff(state.params_g, vg_after["params"])
+        # float32 end-to-end through conv backward in two different
+        # frameworks; deltas per step are O(lr * grad) ~ 1e-3, so ~2e-5 abs
+        # agreement means the composition (detach, KD mix, updated-D G step,
+        # double BN) is reproduced, not merely approximated.
+        assert d_dp < atol, f"D params diverge: max|Δ|={d_dp}"
+        assert d_bn < atol, f"D batch_stats diverge: max|Δ|={d_bn}"
+        assert d_gp < atol, f"G params diverge: max|Δ|={d_gp}"
+    else:
+        # Self-calibrating mode for ill-conditioned configs (deep tiny-width
+        # HRNet: train-mode BN divides by small batch stds ~40 times, so
+        # torch's OWN f32 loop drifts from an f64 rerun by up to ~0.2 on BN
+        # running_var leaves — MEASURED; a fixed 2e-5 tolerance is
+        # meaningless there). Ground truth = the reference loop rerun in
+        # float64 from the same initial weights; per-leaf assertion: our
+        # divergence from the f64 truth is within noise_K x torch's own
+        # f32 divergence from it (+ a floor for leaves where torch's noise
+        # happens to cancel). A semantic bug (swapped alpha, missing
+        # detach, single BN update) shifts leaves SYSTEMATICALLY far
+        # outside the reference's own rounding envelope.
+        d64 = ref_model_module.get_pose_net(cfg, is_train=False)
+        d64.load_state_dict(init_sd_d)
+        t64 = ref_model_module.get_pose_net(cfg, is_train=False)
+        t64.load_state_dict(init_sd_t)
+        g64 = ref.unet.UnetGenerator(input_nc=9, output_nc=3, num_downs=6)
+        g64.load_state_dict(init_sd_g)
+        d64, t64, g64 = d64.double(), t64.double(), g64.double()
+        _ref_advmix_loop(ref, cfg, tmp_path, d64, g64, t64, batches,
+                         dtype=torch.float64)
+        vd64 = TC.torch_to_flax_variables(
+            {k: v.float() for k, v in d64.state_dict().items()},
+            vd_tpl, strict=True)
+        vg64 = TC.torch_unet_to_flax(
+            {k: v.float() for k, v in g64.state_dict().items()},
+            vg_tpl, num_downs=6)
+
+        def _budget_check(ours, t32, t64_tree, what):
+            lo = jax.tree_util.tree_leaves(ours)
+            l32 = jax.tree_util.tree_leaves(t32)
+            l64 = jax.tree_util.tree_leaves(t64_tree)
+            assert len(lo) == len(l32) == len(l64) and lo
+            worst = (0.0, 0.0, 0.0, 0.0)  # (ratio, ours_err, t_err, budget)
+            for o, a32, a64 in zip(lo, l32, l64):
+                o = np.asarray(o, np.float64)
+                a32 = np.asarray(a32, np.float64)
+                a64 = np.asarray(a64, np.float64)
+                ours_err = float(np.max(np.abs(o - a64))) if o.size else 0.0
+                t_err = float(np.max(np.abs(a32 - a64))) if o.size else 0.0
+                budget = max(noise_floor, noise_K * t_err)
+                worst = max(worst, (ours_err / budget, ours_err, t_err,
+                                    budget))
+                assert ours_err <= budget, (
+                    f"{what}: ours-vs-f64 {ours_err} exceeds "
+                    f"{noise_K}x torch's own f32 noise {t_err} "
+                    f"(budget {budget})")
+            return worst
+
+        w1 = _budget_check(state.params_d, vd_after["params"],
+                           vd64["params"], "D params")
+        w2 = _budget_check(state.batch_stats_d, vd_after["batch_stats"],
+                           vd64["batch_stats"], "D batch_stats")
+        w3 = _budget_check(state.params_g, vg_after["params"],
+                           vg64["params"], "G params")
+        print("noise-budget worst (ours_err, torch_err, budget):",
+              w1, w2, w3)
 
     # teacher must be untouched on both sides
     t_after = TC.torch_to_flax_variables(
@@ -354,7 +438,21 @@ def test_advmix_one_step_differential_hrnet(ref, monkeypatch, tmp_path):
     family the headline bench and the shipped COCO/MPII configs train.
     Beyond the loop semantics this also certifies the HRNet converter
     against the reference's real module tree (test_hrnet_convert.py uses
-    a re-built torch twin; this uses the reference itself)."""
+    a re-built torch twin; this uses the reference itself).
+
+    This config is numerically CHAOTIC in train mode (~40 BNs dividing by
+    small tiny-width batch stds; measured: torch's own f32 loop drifts up
+    to ~0.19 from its f64 rerun on running_var leaves, median leaf 2.7e-4
+    — while our f32 step sits only 0.0076 from torch f32), so the fixed
+    2e-5 tolerance the well-conditioned ResNet variant meets is
+    unattainable HERE for any f32 implementation including the reference
+    itself. The assertion is therefore self-calibrating: per leaf, our
+    divergence from the f64 ground truth must be within 4x torch's own
+    f32 divergence from it (see _run_differential noise_K). Measured
+    teeth: the alpha <-> 1-alpha wiring transposition fails at 2.5x
+    budget; a subtle 1.5x-alpha mutation lands at 0.94-0.96 of budget
+    (marginal) — subtle-constant coverage belongs to the
+    well-conditioned ResNet variant above, which holds 2e-5."""
     cfg = _small_cfg()
     cfg.MODEL.NAME = "pose_hrnet"
     cfg.MODEL.EXTRA.PRETRAINED_LAYERS = ["*"]
@@ -370,4 +468,4 @@ def test_advmix_one_step_differential_hrnet(ref, monkeypatch, tmp_path):
         NUM_BLOCKS=[2, 2, 2, 2], NUM_CHANNELS=[8, 16, 32, 64],
         FUSE_METHOD="SUM")
     _run_differential(ref, monkeypatch, tmp_path, cfg, ref.pose_hrnet,
-                      min_matched=200)
+                      min_matched=200, noise_K=4.0)

@@ -116,3 +116,95 @@ def test_serve_export_http_roundtrip(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+TINY_HIGHER = [
+    "MODEL.IMAGE_SIZE", "[64,64]", "MODEL.HEATMAP_SIZE", "[16,16]",
+    "MODEL.EXTRA.STAGE2.NUM_BLOCKS", "[1,1]",
+    "MODEL.EXTRA.STAGE3.NUM_BLOCKS", "[1,1,1]",
+    "MODEL.EXTRA.STAGE4.NUM_BLOCKS", "[1,1,1,1]",
+    "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+    "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+    "MODEL.EXTRA.STAGE2.NUM_CHANNELS", "[8,16]",
+    "MODEL.EXTRA.STAGE3.NUM_CHANNELS", "[8,16,32]",
+    "MODEL.EXTRA.STAGE4.NUM_CHANNELS", "[8,16,32,64]",
+    "MODEL.EXTRA.DECONV.NUM_CHANNELS", "[8]",
+]
+
+
+@pytest.mark.slow
+def test_serve_bottomup_export_roundtrip(tmp_path):
+    """Bottom-up (HigherHRNet) serving: export emits the device half of
+    validate_bottomup (aggregated heatmaps + stacked flip tags + top-k
+    peaks as named arrays), serve.py answers .npz, and the response feeds
+    evaluation.grouping.parse_bottomup directly — the full
+    export -> serve -> group chain with no model code on the server."""
+    out = tmp_path / "export"
+    r = subprocess.run(
+        [sys.executable, "tools/export.py",
+         "--cfg", "experiments/coco/higher_hrnet/w32_512_advmix.yaml",
+         "--batch", "2", "--out", str(out),
+         "OUTPUT_DIR", str(tmp_path / "o"), "LOG_DIR", str(tmp_path / "l")]
+        + TINY_HIGHER,
+        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    log = tmp_path / "serve.log"
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve.py",
+         "--export_dir", str(out), "--port", "0"],
+        cwd=REPO, env=_env(),
+        stdout=open(log, "w"), stderr=subprocess.STDOUT,
+    )
+    try:
+        port = None
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve.py exited early:\n{log.read_text()[-3000:]}"
+                )
+            txt = log.read_text() if log.exists() else ""
+            if "serving pose model on http://" in txt:
+                port = int(txt.split(":")[-1].split()[0].strip("/"))
+                break
+            time.sleep(1.0)
+        assert port, f"server never came up:\n{log.read_text()[-2000:]}"
+        base = f"http://127.0.0.1:{port}"
+
+        info = json.loads(
+            urllib.request.urlopen(f"{base}/healthz", timeout=60).read()
+        )
+        assert info["outputs"] == sorted(
+            ["heat", "tags", "peak_x", "peak_y", "peak_val", "peak_tag"]
+        )
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 64, 64, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x, allow_pickle=False)
+        req = urllib.request.Request(
+            f"{base}/predict", data=buf.getvalue(), method="POST"
+        )
+        resp = np.load(
+            io.BytesIO(urllib.request.urlopen(req, timeout=300).read())
+        )
+        # flip-test stacks a second tag dim; aggregation runs at the
+        # model's scale-1 output resolution (16x16 hm at 64px input -> the
+        # deconv head doubles it to 32)
+        heat, tags = resp["heat"], resp["tags"]
+        assert heat.shape[0] == 2 and heat.shape[-1] == 17
+        assert tags.shape[:3] == heat.shape[:3] and tags.shape[-1] == 2
+        assert resp["peak_val"].shape[:2] == (2, 17)
+        assert np.isfinite(heat).all()
+
+        # the served arrays ARE parse_bottomup's input contract
+        from advmix_tpu.evaluation.grouping import parse_bottomup
+
+        pk = {k: resp[f"peak_{k}"][0] for k in ("x", "y", "val", "tag")}
+        people, scores = parse_bottomup(heat[0], tags[0], pk)
+        assert people.shape[0] == len(scores)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -8,6 +8,12 @@ heatmap coords) as a serialized StableHLO module via `jax.export` —
 loadable in any process with `jax.export.deserialize(...).call(...)`,
 no model code required — alongside an orbax copy of the weights.
 
+Bottom-up configs (pose_higher_hrnet) export the device half of
+`validate_bottomup` instead: a dict of aggregated heatmaps, stacked
+flip tags, and top-k peak tensors (+ the published multi-scale protocol
+when TEST.SCALE_FACTOR lists >1 scale); host-side grouping
+(`evaluation.grouping.parse_bottomup`) consumes the outputs.
+
 Usage:
   python tools/export.py --cfg <yaml> TEST.MODEL_FILE <ckpt> \
       [--batch 128] [--out DIR]
@@ -115,6 +121,8 @@ def main(argv=None):
     else:
         logger.warning("=> no TEST.MODEL_FILE; exporting random init")
 
+    bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
+
     # flip pairs come from the dataset family; the dataset is reused for
     # int8 calibration below (COCO annotation parsing is expensive)
     from advmix_tpu.data import build_dataset
@@ -124,9 +132,22 @@ def main(argv=None):
         ds = build_dataset(cfg, is_train=False)
         flip_pairs = ds.flip_pairs
     except Exception:
-        flip_pairs = []
-        logger.warning("=> dataset unavailable; exporting without flip pairs")
+        if bottomup:
+            # class-level COCO pairs — no annotation files needed
+            from advmix_tpu.data.bottomup import BottomUpCOCODataset
 
+            flip_pairs = BottomUpCOCODataset.flip_pairs
+        else:
+            flip_pairs = []
+            logger.warning(
+                "=> dataset unavailable; exporting without flip pairs")
+
+    if extra_args.int8 and bottomup:
+        raise ValueError(
+            "--int8 is a top-down (wide-channel) win; it MEASURES 18% "
+            "slower than bf16 on HigherHRNet-512's C=32-dominated convs "
+            "(PERF.md) — export bottom-up modules in bf16"
+        )
     if extra_args.int8:
         # W8A8 int8 export (TPU-native extension): per-channel int8
         # weights + calibrated per-tensor activation scales baked into
@@ -180,7 +201,25 @@ def main(argv=None):
             "load into the f32 model)"
         )
 
-    infer = build_infer_fn(model, cfg, flip_pairs)
+    if bottomup:
+        # bottom-up serving module: forward (+ flip TTA, + the published
+        # multi-scale protocol when TEST.SCALE_FACTOR lists >1 scale),
+        # aggregated heatmaps/tags and top-k peaks — exactly the device
+        # half of validate_bottomup; host-side grouping
+        # (evaluation/grouping.parse_bottomup) consumes the outputs.
+        from advmix_tpu.engine.steps import bottomup_infer_fn
+
+        base = bottomup_infer_fn(
+            model, cfg, flip_pairs,
+            scales=tuple(float(s) for s in cfg.TEST.SCALE_FACTOR))
+
+        def infer(params, batch_stats, image):
+            heat, tags, peaks = base(params, batch_stats, image)
+            return {"heat": heat, "tags": tags,
+                    "peak_x": peaks["x"], "peak_y": peaks["y"],
+                    "peak_val": peaks["val"], "peak_tag": peaks["tag"]}
+    else:
+        infer = build_infer_fn(model, cfg, flip_pairs)
     b = extra_args.batch
 
     def fn(params, batch_stats, image):
@@ -216,18 +255,20 @@ def main(argv=None):
     logger.info(f"=> weights exported to {wpath}")
 
     # round-trip smoke: deserialize and run one batch
+    def _shapes(out):
+        return jax.tree.map(lambda a: tuple(np.asarray(a).shape), out)
+
     rt = jexport.deserialize(bytearray(blob))
     rb = 4 if b == 0 else b
     out = rt.call(variables["params"], variables.get("batch_stats", {}),
                   jnp.zeros((rb, h, w, 3), jnp.float32))
-    logger.info(f"=> round-trip OK: output {np.asarray(out).shape}")
+    logger.info(f"=> round-trip OK: output {_shapes(out)}")
     if b == 0:
         out2 = rt.call(variables["params"],
                        variables.get("batch_stats", {}),
                        jnp.zeros((7, h, w, 3), jnp.float32))
         logger.info(
-            f"=> polymorphic round-trip OK at batch 7: "
-            f"{np.asarray(out2).shape}"
+            f"=> polymorphic round-trip OK at batch 7: {_shapes(out2)}"
         )
 
 

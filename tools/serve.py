@@ -8,10 +8,15 @@ into a running service with NO model code on the serving host: the
 StableHLO module is deserialized via `jax.export`, the weights restore
 as a raw orbax tree, and a threaded HTTP server answers
 
-  GET  /healthz            -> JSON {status, batch, image_hw, n_params}
+  GET  /healthz            -> JSON {status, batch, image_hw, n_params,
+                              outputs}
   POST /predict            -> body: .npy float32 (B, H, W, 3) normalized
                               images; response: .npy float32 (B, J, 3)
-                              [x, y in heatmap coords, score]
+                              [x, y in heatmap coords, score] for
+                              top-down exports, or a .npz of named
+                              arrays (heat, tags, peak_*) for bottom-up
+                              exports — feed those to
+                              evaluation.grouping.parse_bottomup
 
 Fixed-batch modules (export --batch N) transparently pad partial
 batches to the compiled size and slice the result; batch-polymorphic
@@ -72,9 +77,11 @@ class PoseServer:
         self.batch = int(b) if isinstance(b, int) else 0
         self._lock = threading.Lock()
         self._np = np
-        # warmup (compiles the module once before the first request)
+        # warmup (compiles the module once before the first request);
+        # bottom-up exports return a dict of named arrays (heat/tags/peaks)
         wb = self.batch or 1
-        self.predict(np.zeros((wb, h, w, 3), np.float32))
+        out = self.predict(np.zeros((wb, h, w, 3), np.float32))
+        self.output_names = sorted(out) if isinstance(out, dict) else None
 
     def predict(self, images):
         np = self._np
@@ -96,6 +103,8 @@ class PoseServer:
                 x = np.concatenate([x, pad], axis=0)
         with self._lock:
             out = self.exported.call(self.params, self.batch_stats, x)
+        if isinstance(out, dict):
+            return {k: np.asarray(v)[:n] for k, v in out.items()}
         return np.asarray(out)[:n]
 
 
@@ -124,6 +133,7 @@ def make_handler(server: PoseServer):
                 "batch": server.batch or "polymorphic",
                 "image_hw": list(server.image_hw),
                 "n_params": server.n_params,
+                "outputs": server.output_names or "preds",
             }
             self._send(200, json.dumps(info).encode(), "application/json")
 
@@ -137,7 +147,10 @@ def make_handler(server: PoseServer):
                               allow_pickle=False)
                 preds = server.predict(arr)
                 buf = io.BytesIO()
-                np.save(buf, preds, allow_pickle=False)
+                if isinstance(preds, dict):  # bottom-up: named arrays
+                    np.savez(buf, **preds)
+                else:
+                    np.save(buf, preds, allow_pickle=False)
                 self._send(200, buf.getvalue(), "application/octet-stream")
             except Exception as e:  # surface the reason to the client
                 self._send(400, str(e).encode(), "text/plain")

@@ -46,11 +46,23 @@ AdvMix workload — e.g. experiments/coco/hrnet/w48_256x192_advmix.yaml,
 or the bottom-up experiments/coco/higher_hrnet/w32_512_advmix.yaml which
 dispatches make_bottomup_advmix_step; default stays the W32 headline so
 driver runs are comparable), BENCH_OPTS="KEY VALUE ..." (config
-overrides on top of BENCH_CFG, e.g. shrunken stages for CPU smokes).
+overrides on top of BENCH_CFG, e.g. shrunken stages for CPU smokes),
+BENCH_PREWARM=0 (skip the compile-cache pre-warm child process; the
+pre-warm is on by default on TPU and always off for ADVMIX_PLATFORM=cpu
+smokes), ADVMIX_BENCH_FAULT="phase:N" (test-only fault injection — the
+first N entries into phase "init"|"compile"|"window" raise a synthetic
+transient relay error; tests/test_bench_resilience.py).
+
+Resilience contract (VERDICT r4 #1): compile-heavy phases retry on the
+transient remote-compile relay error class with the persistent cache
+making retries cheap; a timing window lost to a transient error degrades
+the JSON ({"degraded": true, "notes": [...]}) instead of erasing the
+measurement; rc=1 only when NO window could be measured.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -70,10 +82,111 @@ import numpy as np
 A100_BASELINE_IMG_S = 350.0
 TARGET_MULTIPLE = 3.0
 
+# ---------------------------------------------------------------------------
+# Resilience to the remote-compile relay (VERDICT r4 #1). BENCH_r04.json was
+# lost to ONE transient HTTP body read inside model.init ("response body
+# closed before all bytes were read", JaxRuntimeError: INTERNAL ...
+# remote_compile) — the measurement itself was fine (a rerun recorded 499.6
+# img/s). The compile-heavy phases now run under a bounded retry that only
+# fires on that transient error class, the compile cache is pre-warmed by a
+# child process so a mid-measure crash never loses the ~25-min cold compile,
+# and a window failure degrades the JSON instead of erasing the round.
+# ---------------------------------------------------------------------------
+
+_TRANSIENT_PATTERNS = (
+    "remote_compile",
+    "response body",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "Connection reset",
+    "Connection closed",
+    "connection error",
+    "Socket closed",
+    "Broken pipe",
+    "INTERNAL",
+)
+# NOT transient: RESOURCE_EXHAUSTED (real OOM), INVALID_ARGUMENT, Python
+# errors — retrying those wastes a compile and hides bugs.
+_NON_TRANSIENT_PATTERNS = ("RESOURCE_EXHAUSTED", "INVALID_ARGUMENT")
+
+_fault_counters = {}
+
+
+def _maybe_inject_fault(phase):
+    """Test-only hook: ADVMIX_BENCH_FAULT="phase:N" makes the first N calls
+    of that phase raise a synthetic transient relay error (fault-injection
+    test in tests/test_bench_resilience.py)."""
+    spec = os.environ.get("ADVMIX_BENCH_FAULT")
+    if not spec:
+        return
+    want_phase, _, n = spec.partition(":")
+    if want_phase != phase:
+        return
+    k = _fault_counters.get(phase, 0)
+    if k < int(n or 1):
+        _fault_counters[phase] = k + 1
+        raise RuntimeError(
+            "INTERNAL: injected fault for testing: remote_compile relay "
+            "response body closed before all bytes were read"
+        )
+
+
+def _is_transient(exc) -> bool:
+    s = f"{type(exc).__name__}: {exc}"
+    if any(p in s for p in _NON_TRANSIENT_PATTERNS):
+        return False
+    return any(p in s for p in _TRANSIENT_PATTERNS)
+
+
+def _retry_transient(fn, what, notes, attempts=3, sleep_s=None):
+    """Run fn(); on a transient relay error, sleep and retry (the compile
+    cache makes retries cheap). Non-transient errors raise immediately."""
+    if sleep_s is None:
+        sleep_s = float(os.environ.get("BENCH_RETRY_SLEEP", "15"))
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - classified below
+            if not _is_transient(e) or k == attempts - 1:
+                raise
+            msg = f"{what}: transient failure (attempt {k + 1}/{attempts})"
+            notes.append(msg)
+            print(f"bench: {msg}: {type(e).__name__}: {e}", file=sys.stderr)
+            time.sleep(sleep_s)
+
+
+def _prewarm():
+    """Populate the compile cache in a CHILD process running the same bench
+    up to (and including) the warmup steps, so the measuring process always
+    compiles from cache and a crash mid-measure never loses the compile.
+    Retried on failure; a prewarm that keeps failing is non-fatal (the
+    measurement path has its own retries)."""
+    env = dict(os.environ, BENCH_PREWARM_CHILD="1")
+    for k in range(2):
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=sys.stderr)
+        if rc == 0:
+            return True
+        print(f"bench: prewarm child rc={rc} (attempt {k + 1}/2)",
+              file=sys.stderr)
+    return False
+
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    notes = []
+    prewarm_child = bool(os.environ.get("BENCH_PREWARM_CHILD"))
+    # pre-warm the compile cache in a child process (skipped for CPU smokes
+    # and when explicitly disabled — BENCH_PREWARM=0)
+    if (
+        not prewarm_child
+        and os.environ.get("BENCH_PREWARM", "1") != "0"
+        and os.environ.get("ADVMIX_PLATFORM", "tpu") != "cpu"
+    ):
+        if not _prewarm():
+            notes.append("prewarm failed; measuring with cold cache")
 
     # persistent compile cache: the HRNet-W32 backward is compile-heavy
     # (~7 min cold on the axon tunnel); warm runs load from cache in seconds
@@ -121,10 +234,16 @@ def main():
     model_g = models.get_generator(dtype=dtype)
     tx_d = optim.get_optimizer(cfg)
     tx_g = optim.get_generator_optimizer(cfg)
-    st = state_lib.create_advmix_state(
-        model_d, model_g, tx_d, tx_g, jax.random.PRNGKey(0),
-        jnp.zeros((2, img_h, img_w, 3)),
-    )
+    def _init_state():
+        _maybe_inject_fault("init")
+        return state_lib.create_advmix_state(
+            model_d, model_g, tx_d, tx_g, jax.random.PRNGKey(0),
+            jnp.zeros((2, img_h, img_w, 3)),
+        )
+
+    # model.init is the exact phase BENCH_r04.json died in (a remote-compile
+    # relay read error); retried, and cheap on retry via /tmp/jax_cache
+    st = _retry_transient(_init_state, "state init", notes)
     st = replicate(st, mesh)
 
     bottomup = cfg.MODEL.NAME == "pose_higher_hrnet"
@@ -225,25 +344,57 @@ def main():
     except Exception:
         pass
 
-    # warmup / compile
-    for i in range(3):
-        st, metrics = full_step(st, raw, jax.random.fold_in(key, i))
-    sync(st, metrics)
+    # warmup / compile (the second compile-heavy phase; retried — donation
+    # is safe to re-enter because a failed dispatch never consumed st)
+    def _warmup():
+        _maybe_inject_fault("compile")
+        s = st
+        for i in range(3):
+            s, metrics = full_step(s, raw, jax.random.fold_in(key, i))
+        sync(s, metrics)
+        return s
+
+    st = _retry_transient(_warmup, "warmup/compile", notes)
+
+    if prewarm_child:
+        # cache is warm and the program demonstrably runs: the child's job
+        # is done; the parent re-runs everything from cache and measures
+        print(json.dumps({"prewarm": True, "notes": notes}))
+        return
 
     # two independent timed windows, best-of: the axon tunnel + shared
     # chip make single windows noisy (observed 411 vs 495 img/s for the
     # same binary back to back); the max window is the steady-state
-    # capability, the min is congestion
+    # capability, the min is congestion. A window that dies on a transient
+    # relay error degrades the result instead of erasing the round.
     window_img_s = []
-    for rep in range(int(os.environ.get("BENCH_WINDOWS", "2"))):
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            st, metrics = full_step(
-                st, raw, jax.random.fold_in(key, 100 + rep * n_steps + i)
-            )
-        sync(st, metrics)
-        dt = time.perf_counter() - t0
-        window_img_s.append(batch_size * n_steps / dt)
+    degraded = False
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "2"))
+    for rep in range(n_windows):
+        try:
+            _maybe_inject_fault("window")
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                st, metrics = full_step(
+                    st, raw, jax.random.fold_in(key, 100 + rep * n_steps + i)
+                )
+            sync(st, metrics)
+            dt = time.perf_counter() - t0
+            window_img_s.append(batch_size * n_steps / dt)
+        except Exception as e:  # noqa: BLE001 - classified below
+            if not _is_transient(e):
+                raise
+            degraded = True
+            notes.append(f"window {rep + 1}/{n_windows} lost to a "
+                         f"transient error: {type(e).__name__}")
+            print(f"bench: window {rep + 1} failed transiently: {e}",
+                  file=sys.stderr)
+
+    if not window_img_s:
+        # nothing measured: emit a machine-readable failure line AND fail
+        print(json.dumps({"error": "all timed windows failed transiently",
+                          "notes": notes}))
+        sys.exit(1)
 
     img_s = max(window_img_s)
     img_s_chip = img_s / n_dev
@@ -258,6 +409,10 @@ def main():
         "vs_baseline": round(img_s_chip / baseline, 3),
         "window_img_s_chip": [round(v / n_dev, 2) for v in window_img_s],
     }
+    if degraded:
+        out["degraded"] = True
+    if notes:
+        out["notes"] = notes
     if gflops_per_img is not None:
         # pins the A100-baseline derivation (~63 GFLOPs/img) to a measured
         # number; also implies achieved TFLOP/s = value * gflops / 1000

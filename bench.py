@@ -51,7 +51,13 @@ BENCH_PREWARM=0 (skip the compile-cache pre-warm child process; the
 pre-warm is on by default on TPU and always off for ADVMIX_PLATFORM=cpu
 smokes), ADVMIX_BENCH_FAULT="phase:N" (test-only fault injection — the
 first N entries into phase "init"|"compile"|"window" raise a synthetic
-transient relay error; tests/test_bench_resilience.py).
+transient relay error; tests/test_bench_resilience.py),
+BENCH_XLA_OPTS="key=value ..." (extra TPU compiler options, e.g.
+"xla_tpu_scoped_vmem_limit_kib=65536" — env XLA_FLAGS can NOT carry
+xla_tpu_* flags here because the TPU compile happens remotely behind the
+axon relay and the LOCAL XLA_FLAGS parser fatals on unknown flags; these
+options travel with the compile request via jit .lower().compile(
+compiler_options=...) and are validated by the remote compiler).
 
 Resilience contract (VERDICT r4 #1): compile-heavy phases retry on the
 transient remote-compile relay error class with the persistent cache
@@ -332,17 +338,39 @@ def main():
         jax.device_get(jax.tree.leaves(st.params_d)[0])
 
     key = jax.random.PRNGKey(1)
+
+    # BENCH_XLA_OPTS: extra TPU compiler options (see module docstring).
+    # AOT-compile the step with the options — they ride the remote compile
+    # request and key the compile cache, so each option set caches its own
+    # executable. Donation semantics are part of lowering and carry over.
+    xla_opts = {}
+    for kv in os.environ.get("BENCH_XLA_OPTS", "").replace(",", " ").split():
+        k, _, v = kv.partition("=")
+        xla_opts[k] = v
+
     # measured FLOPs of the whole fused program, to pin the baseline
     # derivation (the 63 GFLOPs/img estimate behind A100_BASELINE_IMG_S)
     gflops_per_img = None
     try:
-        cost = full_step.lower(st, raw, key).compile().cost_analysis()
+        def _aot():
+            _maybe_inject_fault("compile")
+            lowered = full_step.lower(st, raw, key)
+            return lowered.compile(compiler_options=xla_opts or None)
+
+        compiled = _retry_transient(_aot, "AOT compile", notes)
+        if xla_opts:
+            full_step = compiled  # measure the option-compiled executable
+        cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         gflops_per_img = flops / batch_size / 1e9
-    except Exception:
-        pass
+    except Exception as e:
+        if xla_opts:
+            # an option set the remote compiler rejects must fail loudly,
+            # not silently fall back to the default-compiled program
+            raise
+        print(f"bench: cost analysis unavailable: {e}", file=sys.stderr)
 
     # warmup / compile (the second compile-heavy phase; retried — donation
     # is safe to re-enter because a failed dispatch never consumed st)

@@ -71,6 +71,7 @@ def run_arm(name, opts, steps, windows, out_fh):
         err_tail = (r.stderr or r.stdout)[-1200:]
         rejected = any(s in err_tail for s in (
             "Unknown flag", "No such flag", "unknown option",
+            "No such compile option",
             "tpu_compile_helper subprocess exit code",
         ))
         rec["status"] = "rejected" if rejected else "failed"

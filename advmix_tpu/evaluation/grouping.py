@@ -55,6 +55,25 @@ def group_peaks(
         )
 
     groups = []  # each: dict(joints=(J, 3+T) array, tags=[tag vectors])
+    # the published joint_dict is keyed by the SEED tag's first component:
+    # a later seed whose tag[0] collides with an existing group's key joins
+    # THAT group (setdefault) and RESETS its tag list (tag_dict[key] = [tag])
+    # instead of creating a new person — measure-zero for continuous tags,
+    # but exact-parity fixtures exercise it (tests/test_grouping_oracle.py)
+    by_key = {}
+
+    def _seed(j, det):
+        key = float(det[3])
+        if key in by_key:
+            g = by_key[key]
+            g["joints"][j] = det
+            g["tags"] = [det[3:]]
+        else:
+            g = {"joints": np.zeros((num_joints, 3 + tdim), np.float32),
+                 "tags": [det[3:]]}
+            g["joints"][j] = det
+            by_key[key] = g
+            groups.append(g)
 
     for j in joint_order:
         vals = peaks["val"][j]
@@ -72,10 +91,7 @@ def group_peaks(
 
         if not groups:
             for d in dets:
-                g = {"joints": np.zeros((num_joints, 3 + tdim), np.float32),
-                     "tags": [d[3:]]}
-                g["joints"][j] = d
-                groups.append(g)
+                _seed(j, d)
             continue
 
         # only the first max_people groups are match candidates (published)
@@ -103,20 +119,20 @@ def group_peaks(
                 [cost, np.full((n_det, n_det - n_grp), 1e10)], axis=1
             )
         rows, cols = linear_sum_assignment(cost)
-        assigned = set()
+        # every detection row gets exactly one pair (the matrix is padded
+        # square when detections outnumber groups, rectangular-with-slack
+        # otherwise); process pairs in row order, join-or-seed per row —
+        # the published loop's write ORDER, which is observable when key
+        # collisions make several writes land in the same group
         for r, c in zip(rows, cols):
             if c < n_grp and diff[r, c] < tag_thresh:
                 cand[c]["joints"][j] = dets[r]
                 cand[c]["tags"].append(dets[r, 3:])
-                assigned.add(r)
-        for r in range(dets.shape[0]):
-            # unmatched or over-threshold detections seed NEW groups,
-            # uncapped — the published else-branch
-            if r not in assigned:
-                g = {"joints": np.zeros((num_joints, 3 + tdim), np.float32),
-                     "tags": [dets[r, 3:]]}
-                g["joints"][j] = dets[r]
-                groups.append(g)
+            else:
+                # unmatched or over-threshold detections seed NEW groups,
+                # uncapped — the published else-branch (key collisions
+                # join the colliding group, see _seed)
+                _seed(j, dets[r])
 
     if not groups:
         return np.zeros((0, num_joints, 3 + tdim), np.float32)

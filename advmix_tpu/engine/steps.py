@@ -194,11 +194,22 @@ def make_advmix_step(
     axis: str = "data",
     debug: bool = False,
     teacher_apply=None,
+    _mutation=None,
 ):
     """`teacher_apply(variables, images) -> output` overrides the teacher
     forward (default: `model_d.apply(..., train=False)`) — the int8
     teacher perf lever (`ops.quant.make_int8_teacher_apply`), opt-in via
-    TRAIN.INT8_TEACHER."""
+    TRAIN.INT8_TEACHER.
+
+    `_mutation` is TEST-ONLY fault injection for the f64 differential's
+    mutation battery (tests/test_advmix_differential.py): it plants the
+    semantic bugs that could silently occur in this functional
+    formulation, so the differential can prove it would catch them.
+    Always None in production paths. Values: "single_bn_update" (drop the
+    G-step's second BN stats update — function.py:160 runs D in train
+    mode a second time), "stale_d_in_g_step" (G update sees pre-update D
+    — function.py:155 steps the optimizer BEFORE the G forward)."""
+    assert _mutation in (None, "single_bn_update", "stale_d_in_g_step")
     axis = data_axes(mesh, axis)  # ("dcn", "data") on multi-slice meshes
     from .heatmap_debug import debug_outputs
 
@@ -258,9 +269,14 @@ def make_advmix_step(
         # ---- G update (function.py:158-164) ----
         # D is "frozen" (set_require_grad False) but has its UPDATED params
         # and runs in train mode again — second BN stats update per step.
+        if _mutation == "stale_d_in_g_step":
+            g_view_params_d, g_view_stats_d = state.params_d, state.batch_stats_d
+        else:
+            g_view_params_d, g_view_stats_d = new_params_d, stats_after_d
+
         def loss_g_fn(mixed_in):
             out, mut = model_d.apply(
-                {"params": new_params_d, "batch_stats": stats_after_d},
+                {"params": g_view_params_d, "batch_stats": g_view_stats_d},
                 mixed_in,
                 train=True,
                 mutable=["batch_stats"],
@@ -291,7 +307,8 @@ def make_advmix_step(
         }
         new_state = state.replace(
             params_d=new_params_d,
-            batch_stats_d=stats_after_g,
+            batch_stats_d=(stats_after_d if _mutation == "single_bn_update"
+                           else stats_after_g),
             opt_state_d=new_opt_d,
             params_g=new_params_g,
             opt_state_g=new_opt_g,

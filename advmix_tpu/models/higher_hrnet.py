@@ -69,7 +69,7 @@ class HigherHRNet(nn.Module):
             "final_layers_0", self.num_joints + tag_ch, 1, 1, 0,
             use_bias=True, dtype=self.dtype,
         )(feat)
-        outputs.append(out0.astype(jnp.float32))
+        outputs.append(out0.astype(jnp.promote_types(jnp.float32, self.dtype)))
 
         h = feat
         for i in range(self.num_deconv_layers):
@@ -93,7 +93,7 @@ class HigherHRNet(nn.Module):
                 f"final_layers_{i + 1}", self.num_joints, 1, 1, 0,
                 use_bias=True, dtype=self.dtype,
             )(h)
-            outputs.append(out_i.astype(jnp.float32))
+            outputs.append(out_i.astype(jnp.promote_types(jnp.float32, self.dtype)))
         return outputs
 
 

@@ -54,10 +54,14 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
         )
 
+        # stats dtype: at least f32 (bf16 compute upcasts — the production
+        # contract), but f64 compute keeps f64 so the f64 loop differential
+        # (tests/test_advmix_differential.py) isn't truncated through BN
+        stats_dtype = jnp.promote_types(jnp.float32, jnp.asarray(x).dtype)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(stats_dtype)
             reduce_axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=reduce_axes)
             mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
@@ -73,7 +77,8 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(stats_dtype) - mean) * jax.lax.rsqrt(
+            var.astype(stats_dtype) + self.epsilon)
         y = y * scale + bias
         return y.astype(self.dtype)
 

@@ -277,7 +277,7 @@ class PoseHighResolutionNet(nn.Module):
             use_bias=True,
             dtype=self.dtype,
         )(xs[0])
-        return out.astype(jnp.float32)
+        return out.astype(jnp.promote_types(jnp.float32, self.dtype))
 
     def _transition(self, tname, xs, pre_channels, cur_channels, train):
         """Grow/reshape branches between stages

@@ -190,7 +190,7 @@ class PoseResNet(nn.Module):
             use_bias=True,
             dtype=self.dtype,
         )(x)
-        return x.astype(jnp.float32)
+        return x.astype(jnp.promote_types(jnp.float32, self.dtype))
 
 
 def get_pose_net(cfg, dtype=jnp.float32) -> PoseResNet:

@@ -74,7 +74,7 @@ class UnetGenerator(nn.Module):
         )(u)
         if self.with_tanh:
             u = jnp.tanh(u)
-        return u.astype(jnp.float32)
+        return u.astype(jnp.promote_types(jnp.float32, self.dtype))
 
 
 def get_generator(args=None, dtype=jnp.float32) -> UnetGenerator:

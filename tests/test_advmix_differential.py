@@ -41,9 +41,14 @@ import pytest
 
 REF_LIB = "/root/reference/lib"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_LIB), reason="reference tree not available"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REF_LIB), reason="reference tree not available"
+    ),
+    # every differential runs the torch reference loop + a fused-step
+    # compile: minutes each on this host (quick lane: -m "not slow")
+    pytest.mark.slow,
+]
 
 
 @contextlib.contextmanager
@@ -60,8 +65,7 @@ def ref_on_path():
         sys.path.remove(REF_LIB)
 
 
-@pytest.fixture(scope="module")
-def ref():
+def _load_ref():
     """Import the reference's training loop + model code.
 
     `utils.vis` imports torchvision (absent here) at module top; the
@@ -90,6 +94,11 @@ def ref():
             unet=importlib.import_module("models.Unet_generator"),
         )
     return mods
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return _load_ref()
 
 
 B, J, HW, HM = 2, 6, 64, 16  # batch, joints, input px, heatmap px
@@ -432,6 +441,24 @@ def test_advmix_one_step_differential(ref, monkeypatch, tmp_path):
                       ref.pose_resnet)
 
 
+def _hrnet_small_cfg():
+    cfg = _small_cfg()
+    cfg.MODEL.NAME = "pose_hrnet"
+    cfg.MODEL.EXTRA.PRETRAINED_LAYERS = ["*"]
+    cfg.MODEL.EXTRA.STAGE2 = dict(
+        NUM_MODULES=1, NUM_BRANCHES=2, BLOCK="BASIC",
+        NUM_BLOCKS=[2, 2], NUM_CHANNELS=[8, 16], FUSE_METHOD="SUM")
+    cfg.MODEL.EXTRA.STAGE3 = dict(
+        NUM_MODULES=2, NUM_BRANCHES=3, BLOCK="BASIC",
+        NUM_BLOCKS=[2, 2, 2], NUM_CHANNELS=[8, 16, 32],
+        FUSE_METHOD="SUM")
+    cfg.MODEL.EXTRA.STAGE4 = dict(
+        NUM_MODULES=1, NUM_BRANCHES=4, BLOCK="BASIC",
+        NUM_BLOCKS=[2, 2, 2, 2], NUM_CHANNELS=[8, 16, 32, 64],
+        FUSE_METHOD="SUM")
+    return cfg
+
+
 def test_advmix_one_step_differential_hrnet(ref, monkeypatch, tmp_path):
     """Same two-iteration differential with D = the reference's ACTUAL
     `models.pose_hrnet.PoseHighResolutionNet` (tiny stage widths) — the
@@ -448,24 +475,175 @@ def test_advmix_one_step_differential_hrnet(ref, monkeypatch, tmp_path):
     unattainable HERE for any f32 implementation including the reference
     itself. The assertion is therefore self-calibrating: per leaf, our
     divergence from the f64 ground truth must be within 4x torch's own
-    f32 divergence from it (see _run_differential noise_K). Measured
-    teeth: the alpha <-> 1-alpha wiring transposition fails at 2.5x
-    budget; a subtle 1.5x-alpha mutation lands at 0.94-0.96 of budget
-    (marginal) — subtle-constant coverage belongs to the
-    well-conditioned ResNet variant above, which holds 2e-5."""
-    cfg = _small_cfg()
-    cfg.MODEL.NAME = "pose_hrnet"
-    cfg.MODEL.EXTRA.PRETRAINED_LAYERS = ["*"]
-    cfg.MODEL.EXTRA.STAGE2 = dict(
-        NUM_MODULES=1, NUM_BRANCHES=2, BLOCK="BASIC",
-        NUM_BLOCKS=[2, 2], NUM_CHANNELS=[8, 16], FUSE_METHOD="SUM")
-    cfg.MODEL.EXTRA.STAGE3 = dict(
-        NUM_MODULES=2, NUM_BRANCHES=3, BLOCK="BASIC",
-        NUM_BLOCKS=[2, 2, 2], NUM_CHANNELS=[8, 16, 32],
-        FUSE_METHOD="SUM")
-    cfg.MODEL.EXTRA.STAGE4 = dict(
-        NUM_MODULES=1, NUM_BRANCHES=4, BLOCK="BASIC",
-        NUM_BLOCKS=[2, 2, 2, 2], NUM_CHANNELS=[8, 16, 32, 64],
-        FUSE_METHOD="SUM")
-    _run_differential(ref, monkeypatch, tmp_path, cfg, ref.pose_hrnet,
-                      min_matched=200, noise_K=4.0)
+    f32 divergence from it (see _run_differential noise_K). SUBTLE
+    constants are covered by the f64 differential below
+    (test_advmix_differential_hrnet_f64), whose mutation battery fails
+    decisively at >=2x margin on this same config."""
+    _run_differential(ref, monkeypatch, tmp_path, _hrnet_small_cfg(),
+                      ref.pose_hrnet, min_matched=200, noise_K=4.0)
+
+
+# ---------------------------------------------------------------------------
+# f64 differential with mutation battery (VERDICT r4 #7)
+#
+# The f32 HRNet differential above needs a self-calibrated noise budget
+# because tiny-width train-mode BN amplifies f32 rounding ~1e6x. Running
+# BOTH sides in float64 shrinks the rounding seed by 1e9, so the same
+# chaotic program agrees to ~1e-9 and a FIXED tolerance gets sharp teeth:
+# every semantic mutation — including the subtle 1.5x-alpha that the f32
+# budget could not separate — fails by orders of magnitude.
+#
+# jax_enable_x64 is process-global, so the f64 run lives in a subprocess
+# (this file run as a script), like tests/_dist_worker.py.
+# ---------------------------------------------------------------------------
+
+# Per-category tolerances, calibrated to the measured clean f64 run with
+# ~10x headroom (measured: d_params 9.7e-9, g_params 4.3e-8, d_bn 1.3e-6 —
+# the BN running-var leaves amplify even f64 rounding ~1e6x through the
+# 2-iteration chaos, exactly as they amplified f32's). Every mutation arm
+# measured >= 0.23 on its worst category: > 2e5x the clean divergence.
+F64_TOL = {"d_params": 1e-7, "d_bn": 1e-5, "g_params": 5e-7}
+F64_MUTATION_FLOOR = 0.05  # measured arms: 0.23 .. 0.55
+
+
+def _f64_worker_main():
+    import json
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU shim
+
+    from advmix_tpu.engine.state import AdvMixState
+    from advmix_tpu.engine.steps import make_advmix_step
+    from advmix_tpu.models import get_generator, get_pose_net
+    from advmix_tpu.models import torch_convert as TC
+    from advmix_tpu.parallel import get_mesh
+
+    ref = _load_ref()
+    cfg = _hrnet_small_cfg()
+
+    # reference models in f64, identical start to the f32 differential
+    torch.manual_seed(11)
+    t_d = ref.pose_hrnet.get_pose_net(cfg, is_train=False)
+    torch.manual_seed(23)
+    t_teacher = ref.pose_hrnet.get_pose_net(cfg, is_train=False)
+    torch.manual_seed(37)
+    t_g = ref.unet.UnetGenerator(input_nc=9, output_nc=3, num_downs=6)
+    with torch.no_grad():
+        for m in t_teacher.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    t_d, t_g, t_teacher = t_d.double(), t_g.double(), t_teacher.double()
+    init_sd_d = {k: v.clone() for k, v in t_d.state_dict().items()}
+    init_sd_g = {k: v.clone() for k, v in t_g.state_dict().items()}
+    init_sd_t = {k: v.clone() for k, v in t_teacher.state_dict().items()}
+
+    batches = _batches(np.random.RandomState(5), n=2)
+    _ref_advmix_loop(ref, cfg, tempfile.mkdtemp(), t_d, t_g, t_teacher,
+                     batches, dtype=torch.float64)
+
+    # our models in f64: f32 init templates re-cast so the converter
+    # keeps full f64 precision end-to-end
+    model_d = get_pose_net(cfg, dtype=jnp.float64)
+    model_g = get_generator(dtype=jnp.float64)
+    rng = jax.random.PRNGKey(0)
+    to64 = lambda tree: jax.tree.map(  # noqa: E731
+        lambda x: jnp.asarray(x, jnp.float64), tree)
+    vd_tpl = to64(dict(model_d.init(
+        rng, jnp.zeros((B, HW, HW, 3), jnp.float64), train=False)))
+    vg_tpl = to64(dict(model_g.init(
+        rng, jnp.zeros((B, HW, HW, 9), jnp.float64))))
+
+    vd = TC.torch_to_flax_variables(init_sd_d, vd_tpl, strict=True)
+    vt = TC.torch_to_flax_variables(init_sd_t, vd_tpl, strict=True)
+    vg = TC.torch_unet_to_flax(init_sd_g, vg_tpl, num_downs=6)
+    vd_after = TC.torch_to_flax_variables(t_d.state_dict(), vd_tpl,
+                                          strict=True)
+    vg_after = TC.torch_unet_to_flax(t_g.state_dict(), vg_tpl, num_downs=6)
+
+    def run_ours(mutation=None, alpha=ALPHA, lr_swap=False):
+        lr_d, lr_g = (LR_G, LR_D) if lr_swap else (LR_D, LR_G)
+        tx_d, tx_g = optax.sgd(lr_d), optax.sgd(lr_g)
+        state = AdvMixState(
+            params_d=vd["params"], batch_stats_d=vd["batch_stats"],
+            opt_state_d=tx_d.init(vd["params"]),
+            params_g=vg["params"], opt_state_g=tx_g.init(vg["params"]),
+            params_t=vt["params"], batch_stats_t=vt["batch_stats"],
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = make_advmix_step(
+            model_d, model_g, tx_d, tx_g, cfg, get_mesh(1),
+            alpha=alpha, adv_loss_weight=ADV_W, num_views=3,
+            _mutation=mutation)
+        for views, target, tw in batches:
+            batch = {
+                "views": jnp.asarray(np.concatenate(views, axis=1)
+                                     .transpose(0, 2, 3, 1), jnp.float64),
+                "target": jnp.asarray(target.transpose(0, 2, 3, 1),
+                                      jnp.float64),
+                "target_weight": jnp.asarray(tw[..., 0], jnp.float64),
+            }
+            state, _ = step(state, batch)
+        d_p, _ = _tree_diff(state.params_d, vd_after["params"])
+        d_bn, _ = _tree_diff(state.batch_stats_d, vd_after["batch_stats"])
+        d_g, _ = _tree_diff(state.params_g, vg_after["params"])
+        return {"d_params": d_p, "d_bn": d_bn, "g_params": d_g}
+
+    out = {"clean": run_ours()}
+    out["arms"] = {
+        "alpha_swap": run_ours(alpha=1.0 - ALPHA),
+        "alpha_1p5x": run_ours(alpha=1.5 * ALPHA),
+        "lr_swap": run_ours(lr_swap=True),
+        "single_bn_update": run_ours(mutation="single_bn_update"),
+        "stale_d_in_g_step": run_ours(mutation="stale_d_in_g_step"),
+    }
+    print("F64RESULT " + json.dumps(out))
+
+
+@pytest.mark.slow
+def test_advmix_differential_hrnet_f64():
+    """f64 two-iteration differential on the HRNet-family config with a
+    five-arm mutation battery (VERDICT r4 #7). Clean run must agree with
+    the reference's own f64 `train_advmix` within per-category F64_TOL;
+    every mutation — alpha <-> 1-alpha, the SUBTLE 1.5x-alpha, swapped
+    D/G lrs, dropped second BN update, stale (pre-update) D in the G step
+    — must diverge past F64_MUTATION_FLOOR, 5000x the tightest tolerance.
+    Measured margins: clean sits ~10x under each tolerance; the weakest
+    mutation arm sits 4.6x over the floor (0.23 vs 0.05), i.e. every arm
+    fails decisively, including the 1.5x-alpha the f32 noise budget could
+    not separate."""
+    import json
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tests")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, timeout=3600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("F64RESULT ")]
+    assert line, r.stdout[-3000:]
+    out = json.loads(line[-1][len("F64RESULT "):])
+
+    for cat, tol in F64_TOL.items():
+        assert out["clean"][cat] < tol, (cat, out["clean"])
+    for arm, diffs in out["arms"].items():
+        worst = max(diffs.values())
+        assert worst >= F64_MUTATION_FLOOR, (arm, diffs)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    _f64_worker_main()

@@ -6,6 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# corruption oracles render full severity sweeps: ~6 min on this host
+pytestmark = pytest.mark.slow
+
 from advmix_tpu.ops import corruptions as C
 
 

@@ -129,6 +129,7 @@ def test_top_k_peaks_and_grouping():
     assert len(ppl) == 2 and np.all(scores > 0.5)
 
 
+@pytest.mark.slow
 def test_bottomup_step_loss_decreases():
     from advmix_tpu.config import load_config
     from advmix_tpu.engine import optim, state as state_lib, steps
@@ -171,6 +172,7 @@ def test_bottomup_step_loss_decreases():
     assert np.isfinite(float(m["pull"])) and np.isfinite(float(m["push"]))
 
 
+@pytest.mark.slow
 def test_bottomup_advmix_step():
     from advmix_tpu.config import load_config
     from advmix_tpu.engine import optim, state as state_lib, steps
@@ -320,6 +322,7 @@ def test_ochuman_dataset_alias(tmp_path):
     assert s["joints"].shape[1] == 17  # (M, J, 2) -> J dim check
 
 
+@pytest.mark.slow
 def test_higher_hrnet_use_scan_equivalent():
     """USE_SCAN/REMAT plumb through the HigherHRNet trunk; scanned and
     unrolled construction must agree after stack_for_scan restacking."""

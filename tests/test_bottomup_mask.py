@@ -10,6 +10,7 @@ step threading.
 
 import json
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -197,6 +198,7 @@ def _tiny_coco_with_crowd(tmp_path):
     return root
 
 
+@pytest.mark.slow
 def test_dataset_emits_mask_and_steps_consume_it(tmp_path):
     from advmix_tpu.config import load_config
     from advmix_tpu.data import build_dataset
@@ -269,6 +271,7 @@ def test_dataset_emits_mask_and_steps_consume_it(tmp_path):
     assert float(m_masked["loss"]) != float(m_unmasked["loss"])
 
 
+@pytest.mark.slow
 def test_bottomup_advmix_step_with_mask():
     from advmix_tpu.config import load_config
     from advmix_tpu.engine import optim, state as state_lib, steps

@@ -1,5 +1,6 @@
 """Engine tests: standard + AdvMix fused steps over an 8-device CPU mesh."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,7 @@ def _batch(rng):
     }
 
 
+@pytest.mark.slow
 def test_train_step_loss_decreases():
     cfg = _cfg()
     mesh = get_mesh(8)
@@ -68,6 +70,7 @@ def test_train_step_loss_decreases():
     assert int(st.step) == 4
 
 
+@pytest.mark.slow
 def test_advmix_step_semantics():
     cfg = _cfg()
     mesh = get_mesh(8)
@@ -165,6 +168,7 @@ def test_multistep_lr():
     assert np.isclose(optim.multistep_lr(1e-3, [90, 120], 0.1, 130), 1e-5)
 
 
+@pytest.mark.slow
 def test_synthetic_learnability():
     """End-to-end learning check: training on the marker-synthetic dataset
     must raise train PCK well above chance within a few dozen steps."""
@@ -233,6 +237,7 @@ def test_synthetic_learnability():
     assert max(accs) > 0.0, accs
 
 
+@pytest.mark.slow
 def test_cross_replica_bn():
     """TRAIN.CROSS_REPLICA_BN: synced batch stats differ from per-replica
     ones and match a single-device forward over the global batch
@@ -338,6 +343,7 @@ def test_val_loss_invariant_to_eval_batch_size(tmp_path):
     np.testing.assert_allclose(accs[0], accs[2], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_multi_slice_mesh_training_step():
     """2-D ("dcn", "data") mesh (multi-slice pods): the train step runs
     with batches sharded over both axes and produces the same loss and

@@ -8,6 +8,7 @@ reproduces the torch outputs — the path real pretrained HRNet-W32/W48
 checkpoints take.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -174,6 +175,7 @@ class THRNet(tnn.Module):
         return self.final_layer(xs[0])
 
 
+@pytest.mark.slow
 def test_hrnet_torch_conversion_full_parity():
     torch.manual_seed(0)
     t = THRNet(num_joints=5).eval()
@@ -210,6 +212,7 @@ def test_hrnet_torch_conversion_full_parity():
     )
 
 
+@pytest.mark.slow
 def test_load_torch_checkpoint_into_scanned_model(tmp_path):
     """The headline fine-tune recipe: a torch .pth must load into a
     USE_SCAN model through engine.checkpoint.load_torch_checkpoint and

@@ -6,6 +6,7 @@ torch_convert.torch_to_flax_variables), plus shape/jit sanity for HRNet and
 the UNet generator.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -261,6 +262,7 @@ def test_unet_channel_progression():
     assert p["up_0_conv"]["kernel"].shape == (4, 4, 3, 16)
 
 
+@pytest.mark.slow
 def test_scan_equivalence():
     """Scanned HRNet == unscanned HRNet numerically after param restacking."""
     from advmix_tpu.models.torch_convert import stack_for_scan
@@ -338,6 +340,7 @@ def test_resnet_scan_equivalence():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hrnet_remat_modes_identical():
     """MODEL.EXTRA.REMAT levels ("nested"/"module"/"block"/"none") are pure
     memory/traffic trade-offs — forwards and gradients must be identical."""

@@ -259,6 +259,7 @@ def test_polymorphic_int8_export_no_train_kwarg():
         assert np.asarray(out).shape == (n, 16, 12, 4)
 
 
+@pytest.mark.slow
 def test_int8_teacher_in_advmix_step():
     """TRAIN.INT8_TEACHER (net-new perf lever, no reference counterpart):
     the fused AdvMix step runs the frozen teacher forward W8A8 via

@@ -1,8 +1,9 @@
 from .datasets import (COCODataset, MPIIDataset, SyntheticPoseDataset,
                        ConcatDataset, build_dataset, build_stylized_dataset)
-from .loader import Loader
+from .loader import CachedLoader, Loader
 
 __all__ = [
+    "CachedLoader",
     "COCODataset",
     "MPIIDataset",
     "SyntheticPoseDataset",

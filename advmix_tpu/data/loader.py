@@ -19,6 +19,64 @@ from typing import Iterator
 import numpy as np
 
 
+class CachedLoader:
+    """Replay a deterministic eval loader's batches from host RAM.
+
+    The corruption sweep (`tools/test_corruption.py --on_the_fly`,
+    reference `test_corruption.py` whole-file sweep loop) prepares the
+    SAME validation batches 76+ times: in on-the-fly mode the dataset
+    resolves clean paths on every pass and the device synthesizes the
+    corruption, so all host work (decode + warp + mask rasterize +
+    collate) is pass-invariant. On this host that prep dominated real
+    sweeps (~42 min per 76-pass sweep, VERDICT r4 weak #7). Caching the
+    collated numpy batches after the first pass turns every later pass
+    device-bound.
+
+    Only valid for deterministic iteration: requires ``shuffle=False``
+    and assumes ``set_epoch`` is never used to change the sample stream
+    (eval loaders satisfy both). A byte budget guards memory: if the
+    accumulated batches exceed ``max_bytes`` the cache is abandoned
+    mid-build and every pass falls through to the live loader.
+    """
+
+    def __init__(self, loader: "Loader", max_bytes: int = 8 << 30):
+        if loader.shuffle:
+            raise ValueError("CachedLoader requires a shuffle=False loader")
+        self.loader = loader
+        self.max_bytes = int(max_bytes)
+        self._cache = None
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __getattr__(self, name):
+        # delegate dataset/batch_size/... to the wrapped loader
+        return getattr(self.loader, name)
+
+    def __iter__(self) -> Iterator[dict]:
+        if self._cache is not None:
+            # shallow-copy each batch so a consumer that adds/overwrites
+            # keys can't poison later passes
+            for b in self._cache:
+                yield dict(b)
+            return
+        acc: list = []
+        nbytes = 0
+        fits = True
+        for b in self.loader:
+            if fits:
+                nbytes += sum(
+                    v.nbytes for v in b.values() if isinstance(v, np.ndarray)
+                )
+                if nbytes <= self.max_bytes:
+                    acc.append(b)
+                else:
+                    fits, acc = False, []
+            yield dict(b)
+        if fits:
+            self._cache = acc
+
+
 class Loader:
     def __init__(
         self,

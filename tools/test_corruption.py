@@ -193,6 +193,33 @@ def main(argv=None):
             debug=bool(cfg.DEBUG.DEBUG),
         )
 
+    # In on-the-fly mode the dataset resolves CLEAN paths on EVERY pass
+    # and the device synthesizes the corruption inside prep/eval — so the
+    # dataset, and all host batch prep (decode/warp/collate), is identical
+    # across the whole 1+15*5 sweep. Build it once and replay the prepared
+    # batches from RAM after the first pass (CachedLoader), turning a
+    # host-prep-bound sweep into a device-bound one (PERF.md round-5;
+    # VERDICT r4 weak #7). Pre-rendered (-C tree) sweeps read different
+    # files per pass and keep the per-pass build below.
+    cached = None
+    if extra_args.on_the_fly:
+        from advmix_tpu.data.loader import CachedLoader
+
+        cfg.defrost()
+        cfg.TEST.TEST_ROBUST = False
+        cfg.freeze()
+        _fly_dataset = build_dataset(cfg, is_train=False)
+        n_proc = jax.process_count()
+        local_dev = max(1, mesh.devices.size // n_proc)
+        cached = (
+            _fly_dataset,
+            CachedLoader(Loader(
+                _fly_dataset, cfg.TEST.BATCH_SIZE_PER_GPU * local_dev,
+                shuffle=False,
+                num_shards=n_proc, shard_index=jax.process_index(),
+            )),
+        )
+
     def run_one(corruption: str, severity0: int):
         """severity0 is the 0-based loop index; files/dirs use it directly
         (the reference stores severities as 0..4 on disk) while on-the-fly
@@ -205,14 +232,17 @@ def main(argv=None):
         cfg.TEST.TEST_ROBUST = not extra_args.on_the_fly
         cfg.freeze()
 
-        dataset = build_dataset(cfg, is_train=False)
-        n_proc = jax.process_count()
-        local_dev = max(1, mesh.devices.size // n_proc)
-        loader = Loader(
-            dataset, cfg.TEST.BATCH_SIZE_PER_GPU * local_dev,
-            shuffle=False,
-            num_shards=n_proc, shard_index=jax.process_index(),
-        )
+        if cached is not None:
+            dataset, loader = cached
+        else:
+            dataset = build_dataset(cfg, is_train=False)
+            n_proc = jax.process_count()
+            local_dev = max(1, mesh.devices.size // n_proc)
+            loader = Loader(
+                dataset, cfg.TEST.BATCH_SIZE_PER_GPU * local_dev,
+                shuffle=False,
+                num_shards=n_proc, shard_index=jax.process_index(),
+            )
         cfg.defrost()
         cfg.TEST.TEST_ROBUST = True
         cfg.freeze()

@@ -37,7 +37,7 @@ def main(argv=None):
 
     from advmix_tpu.config import get_default_config, update_config
     from advmix_tpu import models
-    from advmix_tpu.data import Loader, build_dataset
+    from advmix_tpu.data import CachedLoader, Loader, build_dataset
     from advmix_tpu.engine import optim, state as state_lib, steps
     from advmix_tpu.engine import trainer as trainer_lib
     from advmix_tpu.engine.checkpoint import (
@@ -252,8 +252,12 @@ def main(argv=None):
     # validate() allgathers predictions and runs COCOeval/PCKh on
     # process 0 (an N-host corruption sweep does 1/N of the decode work
     # per host instead of all of it)
-    valid_loader = Loader(valid_dataset, test_batch, shuffle=False,
-                          **shard_kw)
+    # every epoch's validation prepares the SAME deterministic batches;
+    # replay them from host RAM after the first epoch (byte-budgeted —
+    # big val sets fall through to the live loader)
+    valid_loader = CachedLoader(
+        Loader(valid_dataset, test_batch, shuffle=False, **shard_kw)
+    )
     if device_warp:
         logger.info("=> device-warp input pipeline (host decodes only; "
                     f"bucket {tuple(cfg.DATASET.WARP_BUCKET)})")

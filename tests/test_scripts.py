@@ -17,7 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SMOKE_CFG = "experiments/synthetic/res18_64x64_smoke.yaml"
 
 
-def _run(script, extra, env_extra, cwd):
+def _run(script, extra, env_extra, cwd, timeout=900):
     env = dict(os.environ)
     env.update(
         ADVMIX_PLATFORM="cpu",
@@ -28,7 +28,7 @@ def _run(script, extra, env_extra, cwd):
     env.update(env_extra)
     return subprocess.run(
         ["bash", os.path.join(REPO, "scripts", script)] + extra,
-        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout,
     )
 
 
@@ -611,3 +611,29 @@ def test_serving_bench_bottomup(tmp_path):
     assert out["unit"] == "img/s" and out["value"] > 0
     assert "pose_higher_hrnet" in out["metric"]
     assert "scales=[0.5, 1, 2]" in out["metric"]
+
+
+@pytest.mark.slow
+def test_int8_teacher_ab_script(tmp_path):
+    """scripts/int8_teacher_ab.sh (VERDICT r4 #3): the int8-teacher KD
+    accuracy A/B — standard teacher train, two advmix arms (f32 vs
+    TRAIN.INT8_TEACHER) from the same warm start, both swept, deltas
+    printed. CPU smoke: 1 epoch/arm, 64 samples, 1-distortion sweep
+    (5 subprocess compiles on this 1-core host -> generous timeout)."""
+    work = str(tmp_path / "work")
+    r = _run(
+        "int8_teacher_ab.sh", [work],
+        {"EPOCHS": "1", "DISTORTIONS": "gaussian_noise",
+         "AB_EXTRA_OPTS": "DATASET.SYNTH_LENGTH 64",
+         "OUTPUT_DIR": str(tmp_path / "o"), "LOG_DIR": str(tmp_path / "l")},
+        REPO, timeout=2400,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert os.path.isdir(os.path.join(work, "f32_state"))
+    assert os.path.isdir(os.path.join(work, "int8_state"))
+    # the int8 arm's train log proves the quantized teacher was active
+    assert "int8 teacher" in (r.stdout + r.stderr).lower(), (
+        r.stdout[-2000:] + r.stderr[-2000:])
+    lines = r.stdout.splitlines()
+    delta = [ln for ln in lines if ln.startswith("delta")]
+    assert delta, lines[-10:]
